@@ -1,0 +1,240 @@
+"""Decoder backends behind one interface.
+
+TPU-native analogue of the reference's vtbl abstraction
+(jpeg_decode_ctx_vtbl, jpeg_wrap.h:35-51): the same decode surface --
+``decode_header`` / ``decode(out=stage)`` / ``reset`` -- over multiple
+interchangeable backends for differential testing:
+
+* :class:`PilDecoder`   -- libjpeg-turbo via Pillow: the always-available
+  pixel oracle (the LIBJPEG vtbl role, jpeg_wrap.c:246-252).
+* :class:`HostDecoder`  -- our own full CPU path (the XJPEG role,
+  jpeg_wrap.c:352-358): host entropy decode + numpy islow IDCT + exact
+  integer color.  Every stage cut available.
+* :class:`TpuDecoder`   -- host entropy decode + the jitted device pipeline
+  (engine/pipeline.py).  Every stage cut available; pixel stages run on
+  the accelerator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from jpeg_gpu_tpu.engine.stages import OutputStage
+from jpeg_gpu_tpu.errors import JpegError, JpegUnsupportedError
+from jpeg_gpu_tpu.host import entropy as host_entropy
+from jpeg_gpu_tpu.host.parser import ParsedJpeg, parse
+from jpeg_gpu_tpu.info import JpegHeader
+from jpeg_gpu_tpu.ops import color as color_ops
+from jpeg_gpu_tpu.ops import idct as idct_ops
+from jpeg_gpu_tpu.ops import idct_islow
+from jpeg_gpu_tpu.utils.logging import get_logger
+
+log = get_logger("engine")
+
+StageArg = Union[OutputStage, str]
+
+
+def _stage(out: StageArg) -> OutputStage:
+    return out if isinstance(out, OutputStage) else OutputStage.from_name(out)
+
+
+@dataclasses.dataclass
+class YuvOutput:
+    """YUV-stage result: per-component sample planes (true comp dims)."""
+
+    planes: List[np.ndarray]
+
+
+@dataclasses.dataclass
+class CoefOutput:
+    """QUANT/DCT-stage result: per-component (vb, hb, 8, 8) coefficients."""
+
+    coefs: List[np.ndarray]
+
+
+@dataclasses.dataclass
+class PackOutput:
+    """PACK-stage result: the reference's packed stream + per-block index."""
+
+    pack: np.ndarray
+    index: List[np.ndarray]
+
+
+class Decoder:
+    """Base decoder: owns the bitstream, parses lazily, decodes per stage."""
+
+    name = "base"
+
+    def __init__(self, data: bytes, validate: bool = True):
+        self.data = data
+        self.validate = validate
+        self._parsed: Optional[ParsedJpeg] = None
+        self._scan: Optional[host_entropy.ScanResult] = None
+        self._scan_packed = False
+
+    # -- header ------------------------------------------------------------
+    def decode_header(self) -> JpegHeader:
+        return self._parse().header
+
+    def _parse(self) -> ParsedJpeg:
+        if self._parsed is None:
+            self._parsed = parse(self.data, validate=self.validate)
+        return self._parsed
+
+    # -- image -------------------------------------------------------------
+    def decode(self, out: StageArg = OutputStage.RGB):
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        """Drop decoded state, keep the bitstream (cf. decode_reset)."""
+        self._parsed = None
+        self._scan = None
+
+    # -- shared host entropy stage ------------------------------------------
+    def _entropy(self, want_pack: bool = False) -> host_entropy.ScanResult:
+        if self._scan is None or (want_pack and not self._scan_packed):
+            self._scan = host_entropy.decode_scan(
+                self._parse(), want_pack=want_pack, validate=self.validate
+            )
+            self._scan_packed = want_pack
+        return self._scan
+
+    def _coef_stage(self, stage: OutputStage):
+        parsed = self._parse()
+        result = self._entropy(want_pack=(stage == OutputStage.PACK))
+        if stage == OutputStage.PACK:
+            return PackOutput(pack=result.pack, index=result.pack_index)
+        if stage == OutputStage.QUANT:
+            return CoefOutput(coefs=[np.asarray(c) for c in result.coefs])
+        if stage == OutputStage.DCT:
+            hdr = parsed.header
+            out = []
+            for ci, comp in enumerate(hdr.components):
+                q = hdr.quant_for(comp).values.astype(np.int32)
+                out.append(result.coefs[ci].astype(np.int32) * q)
+            return CoefOutput(coefs=out)
+        raise ValueError(stage)
+
+
+class HostDecoder(Decoder):
+    """Full CPU decode path (our from-scratch 'xjpeg' equivalent)."""
+
+    name = "host"
+
+    def decode(self, out: StageArg = OutputStage.RGB):
+        stage = _stage(out)
+        if stage in (OutputStage.PACK, OutputStage.QUANT, OutputStage.DCT):
+            return self._coef_stage(stage)
+        hdr = self._parse().header
+        result = self._entropy()
+        full_planes = []
+        for ci, comp in enumerate(hdr.components):
+            q = hdr.quant_for(comp).values
+            pix = idct_islow.dequant_idct_islow_pixels(result.coefs[ci], q, xp=np)
+            full_planes.append(_np_blocks_to_plane(pix))
+        if stage == OutputStage.YUV:
+            return YuvOutput(
+                planes=[
+                    p[: c.height, : c.width]
+                    for p, c in zip(full_planes, hdr.components)
+                ]
+            )
+        assert stage == OutputStage.RGB
+        h, w = hdr.height, hdr.width
+        if hdr.ncomps == 1:
+            y = full_planes[0][:h, :w]
+            return np.repeat(y[..., None], 3, axis=-1)
+        up = [
+            color_ops.upsample_nearest(p, c.xdec, c.ydec, xp=np)[:h, :w]
+            for p, c in zip(full_planes, hdr.components)
+        ]
+        return color_ops.ycbcr_to_rgb_exact(up[0], up[1], up[2], xp=np)
+
+
+def _np_blocks_to_plane(blocks: np.ndarray) -> np.ndarray:
+    vb, hb = blocks.shape[-4], blocks.shape[-3]
+    x = np.swapaxes(blocks, -3, -2)
+    return x.reshape(blocks.shape[:-4] + (vb * 8, hb * 8))
+
+
+class TpuDecoder(Decoder):
+    """Host entropy decode + jitted device pipeline for the pixel stages."""
+
+    name = "tpu"
+
+    def __init__(self, data: bytes, validate: bool = True, exact: bool = True):
+        super().__init__(data, validate=validate)
+        self.exact = exact
+
+    def decode(self, out: StageArg = OutputStage.RGB):
+        from jpeg_gpu_tpu.engine import pipeline
+
+        stage = _stage(out)
+        if stage == OutputStage.PACK:
+            return self._coef_stage(stage)
+        hdr = self._parse().header
+        result = self._entropy()
+        spec = pipeline.PipelineSpec.from_header(hdr, exact=self.exact)
+        coefs = tuple(np.ascontiguousarray(c) for c in result.coefs)
+        qtables = tuple(
+            hdr.quant_for(c).values.astype(np.int32) for c in hdr.components
+        )
+        dev = pipeline.run(spec, stage, coefs, qtables)
+        if stage in (OutputStage.QUANT, OutputStage.DCT):
+            return CoefOutput(coefs=[np.asarray(c) for c in dev])
+        if stage == OutputStage.YUV:
+            return YuvOutput(planes=[np.asarray(p) for p in dev])
+        return np.asarray(dev)
+
+
+class PilDecoder(Decoder):
+    """Pillow/libjpeg-turbo oracle backend (pixel stages only)."""
+
+    name = "pil"
+
+    def decode(self, out: StageArg = OutputStage.RGB):
+        from jpeg_gpu_tpu.testing import oracle
+
+        stage = _stage(out)
+        if stage != OutputStage.RGB:
+            raise JpegUnsupportedError(
+                f"PIL oracle backend only provides the rgb stage, not {stage.value}"
+            )
+        hdr = self.decode_header()
+        if hdr.ncomps == 1:
+            y = oracle.pil_decode_gray(self.data)
+            return np.repeat(y[..., None], 3, axis=-1)
+        return oracle.pil_decode_rgb(self.data)
+
+
+_BACKENDS = {
+    "host": HostDecoder,
+    "tpu": TpuDecoder,
+    "pil": PilDecoder,
+    "libjpeg": PilDecoder,  # oracle alias, mirrors --impl libjpeg
+    "xjpeg": HostDecoder,   # alias, mirrors --impl xjpeg
+}
+
+
+def get_decoder(data: bytes, impl: str = "tpu", **kwargs) -> Decoder:
+    try:
+        cls = _BACKENDS[impl]
+    except KeyError:
+        raise ValueError(
+            f"unknown decoder impl {impl!r}; choose from {sorted(_BACKENDS)}"
+        )
+    return cls(data, **kwargs)
+
+
+def decode_header(data: bytes) -> JpegHeader:
+    return parse(data, headers_only=True).header
+
+
+def decode(
+    data: bytes, out: StageArg = OutputStage.RGB, impl: str = "tpu", **kwargs
+):
+    """One-shot decode convenience entry point."""
+    return get_decoder(data, impl=impl, **kwargs).decode(out)

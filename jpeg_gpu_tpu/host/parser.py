@@ -1,0 +1,365 @@
+"""JPEG marker parser: bytes -> JpegHeader + entropy-coded segment spans.
+
+Host-side analogue of the reference's marker dispatch loop and segment
+parsers (xjpeg.c:704-763 dispatch; DQT :219-256; DHT :258-345; SOF0
+:350-410; DRI :412-420; SOS :634-695) rebuilt for the TPU engine: instead
+of feeding a serial bit reader, parsing here produces (a) a static
+``JpegHeader`` and (b) the byte spans of every restart segment in the
+entropy-coded data.  Restart segments are the unit of parallel entropy
+decode (SURVEY.md section 5), so finding their boundaries -- a cheap
+byte-level scan, vectorised with numpy -- is a first-class parsing product
+rather than a validation detail.
+
+Supported subset mirrors the reference: SOF0 only, 8-bit, 1 or 3
+components, sampling factors 1/2/4, single interleaved scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from jpeg_gpu_tpu.errors import JpegFormatError, JpegUnsupportedError
+from jpeg_gpu_tpu.info import (
+    Component,
+    HuffmanSpec,
+    JpegHeader,
+    QuantTable,
+    ScanHeader,
+    derive_geometry,
+)
+from jpeg_gpu_tpu.ops.zigzag import zigzag_to_raster
+from jpeg_gpu_tpu.utils.logging import get_logger
+
+log = get_logger("entropy")
+
+# Marker bytes (second byte of the 0xFF xx pair).
+M_SOF0 = 0xC0
+M_SOF_OTHER = tuple(
+    m for m in range(0xC1, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)  # SOF1..SOF15 minus DHT/JPG/DAC slots
+M_DHT = 0xC4
+M_DAC = 0xCC
+M_RST0 = 0xD0
+M_RST7 = 0xD7
+M_SOI = 0xD8
+M_EOI = 0xD9
+M_SOS = 0xDA
+M_DQT = 0xDB
+M_DNL = 0xDC
+M_DRI = 0xDD
+M_APP0 = 0xE0
+M_COM = 0xFE
+
+
+@dataclasses.dataclass(frozen=True)
+class ParsedJpeg:
+    """Parse result: header + location of the entropy-coded data.
+
+    ``segments`` holds one (start, end) byte range per restart segment of
+    the single baseline scan, *excluding* the RSTn markers themselves.  For
+    a stream without restarts there is exactly one segment.
+    """
+
+    header: JpegHeader
+    data: bytes
+    segments: Tuple[Tuple[int, int], ...]
+
+    @property
+    def entropy_bytes(self) -> int:
+        return sum(e - s for s, e in self.segments)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u8(self) -> int:
+        if self.pos >= len(self.data):
+            raise JpegFormatError("unexpected end of file")
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+    def u16(self) -> int:
+        if self.pos + 2 > len(self.data):
+            raise JpegFormatError("unexpected end of file")
+        v = struct.unpack_from(">H", self.data, self.pos)[0]
+        self.pos += 2
+        return v
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise JpegFormatError("unexpected end of file")
+        v = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+
+def _parse_dqt(r: _Reader, tables: list, validate: bool) -> None:
+    """DQT: one or more tables per segment (cf. xjpeg.c:219-256)."""
+    length = r.u16() - 2
+    end = r.pos + length
+    while r.pos < end:
+        pq_tq = r.u8()
+        pq, tq = pq_tq >> 4, pq_tq & 0x0F
+        if tq > 3:
+            raise JpegFormatError(f"DQT table id {tq} > 3")
+        if pq > 1:
+            raise JpegFormatError(f"DQT precision {pq} invalid")
+        if pq:
+            raw = np.frombuffer(r.take(128), dtype=">u2").astype(np.uint16)
+        else:
+            raw = np.frombuffer(r.take(64), dtype=np.uint8).astype(np.uint16)
+        if validate and (raw == 0).any():
+            raise JpegFormatError("DQT contains zero entries")
+        tables[tq] = QuantTable(precision=pq, values=zigzag_to_raster(raw))
+    if r.pos != end:
+        raise JpegFormatError("DQT length mismatch")
+
+
+def _parse_dht(r: _Reader, dc: list, ac: list, validate: bool) -> None:
+    """DHT: one or more tables per segment (cf. xjpeg.c:258-345)."""
+    length = r.u16() - 2
+    end = r.pos + length
+    while r.pos < end:
+        tc_th = r.u8()
+        tc, th = tc_th >> 4, tc_th & 0x0F
+        if tc > 1:
+            raise JpegFormatError(f"DHT class {tc} invalid (arithmetic?)")
+        if th > 3:
+            raise JpegFormatError(f"DHT table id {th} > 3")
+        counts = np.frombuffer(r.take(16), dtype=np.uint8).copy()
+        total = int(counts.sum())
+        if total > 256:
+            raise JpegFormatError("DHT has more than 256 symbols")
+        symbols = np.frombuffer(r.take(total), dtype=np.uint8).copy()
+        if validate:
+            # Kraft inequality: the code space must not be over-subscribed.
+            space = 0
+            for i, n in enumerate(counts):
+                space += int(n) << (16 - (i + 1))
+            if space > (1 << 16):
+                raise JpegFormatError("DHT code space over-subscribed")
+        spec = HuffmanSpec(table_class=tc, counts=counts, symbols=symbols)
+        (dc if tc == 0 else ac)[th] = spec
+    if r.pos != end:
+        raise JpegFormatError("DHT length mismatch")
+
+
+def _parse_sof0(r: _Reader) -> Tuple[int, int, int, List[Component]]:
+    """SOF0 frame header (cf. xjpeg.c:350-410)."""
+    r.u16()  # length
+    bits = r.u8()
+    if bits != 8:
+        raise JpegUnsupportedError(f"only 8-bit precision supported, got {bits}")
+    height = r.u16()
+    width = r.u16()
+    if width == 0 or height == 0:
+        raise JpegUnsupportedError("zero dimension (DNL streams unsupported)")
+    ncomps = r.u8()
+    if ncomps not in (1, 3):
+        raise JpegUnsupportedError(f"only 1 or 3 components supported, got {ncomps}")
+    comps = []
+    seen_ids = set()
+    for _ in range(ncomps):
+        cid = r.u8()
+        hv = r.u8()
+        tq = r.u8()
+        h, v = hv >> 4, hv & 0x0F
+        if h not in (1, 2, 4) or v not in (1, 2, 4):
+            raise JpegUnsupportedError(
+                f"sampling factors must be 1, 2 or 4; got {h}x{v}"
+            )  # factor 3 rejected like xjpeg.c:386,391
+        if tq > 3:
+            raise JpegFormatError(f"component quant index {tq} > 3")
+        if cid in seen_ids:
+            raise JpegFormatError(f"duplicate component id {cid}")
+        seen_ids.add(cid)
+        comps.append(Component(comp_id=cid, hsamp=h, vsamp=v, quant_idx=tq))
+    return bits, width, height, comps
+
+
+def _parse_sos(r: _Reader, comps: List[Component], validate: bool) -> ScanHeader:
+    """SOS scan header (cf. xjpeg.c:634-695). Baseline constraints enforced."""
+    r.u16()  # length
+    ns = r.u8()
+    if ns != len(comps):
+        raise JpegUnsupportedError(
+            f"scan must cover all {len(comps)} components (got {ns}); "
+            "non-interleaved multi-scan streams unsupported"
+        )
+    comp_idx, dc_tbl, ac_tbl = [], [], []
+    for _ in range(ns):
+        cs = r.u8()
+        tda = r.u8()
+        matches = [i for i, c in enumerate(comps) if c.comp_id == cs]
+        if not matches:
+            raise JpegFormatError(f"scan references unknown component id {cs}")
+        comp_idx.append(matches[0])
+        dc_tbl.append(tda >> 4)
+        ac_tbl.append(tda & 0x0F)
+    ss, se, ahl = r.u8(), r.u8(), r.u8()
+    if (ss, se, ahl) != (0, 63, 0):
+        raise JpegUnsupportedError(
+            f"progressive/partial scan (Ss={ss} Se={se} AhAl={ahl:#x}) unsupported"
+        )  # enforced like xjpeg.c:674-680
+    return ScanHeader(
+        comp_idx=tuple(comp_idx), dc_tbl=tuple(dc_tbl), ac_tbl=tuple(ac_tbl)
+    )
+
+
+def _scan_entropy_segments(
+    data: bytes, start: int, expected_segments: Optional[int], validate: bool
+) -> Tuple[Tuple[Tuple[int, int], ...], int]:
+    """Split the entropy-coded data into restart segments.
+
+    Vectorised byte scan: every 0xFF is either (a) stuffed (followed by
+    0x00, part of entropy data), (b) an RSTn separator, or (c) the
+    terminating marker.  Returns (segments, position_after_scan_data).
+    The RSTn modulo-8 sequence check mirrors xjpeg.c:610-611.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ff_pos = np.flatnonzero(buf[start:] == 0xFF) + start
+    # Byte following each 0xFF (0 if at EOF -> treated as stuffed/truncated).
+    nxt = np.zeros_like(ff_pos)
+    in_range = ff_pos + 1 < len(buf)
+    nxt[in_range] = buf[ff_pos[in_range] + 1]
+
+    segments: List[Tuple[int, int]] = []
+    seg_start = start
+    rst_count = 0
+    end_pos = len(data)
+    for pos, marker in zip(ff_pos.tolist(), nxt.tolist()):
+        if pos < seg_start:
+            continue  # inside an already-consumed RST marker pair
+        if marker == 0x00 or marker == 0xFF:
+            continue  # stuffed byte / fill byte: entropy data
+        if M_RST0 <= marker <= M_RST7:
+            if validate and (marker - M_RST0) != (rst_count & 7):
+                raise JpegFormatError(
+                    f"restart marker out of sequence: got RST{marker - M_RST0}, "
+                    f"expected RST{rst_count & 7}"
+                )
+            segments.append((seg_start, pos))
+            seg_start = pos + 2
+            rst_count += 1
+            continue
+        # Any other marker terminates the scan.
+        segments.append((seg_start, pos))
+        end_pos = pos
+        break
+    else:
+        segments.append((seg_start, len(data)))
+    if expected_segments is not None and validate and len(segments) != expected_segments:
+        raise JpegFormatError(
+            f"expected {expected_segments} restart segments, found {len(segments)}"
+        )
+    return tuple(segments), end_pos
+
+
+def parse(data: bytes, headers_only: bool = False, validate: bool = True) -> ParsedJpeg:
+    """Parse a baseline JPEG stream.
+
+    With ``headers_only`` the parse stops at SOS like the reference's
+    ``xjpeg_decode_header`` (xjpeg.c:716-719, 765); the returned
+    ``segments`` is then empty.
+    """
+    r = _Reader(data)
+    if r.u8() != 0xFF or r.u8() != M_SOI:
+        raise JpegFormatError("missing SOI marker")  # cf. xjpeg.c:779-781
+
+    quant: list = [None, None, None, None]
+    dc: list = [None, None, None, None]
+    ac: list = [None, None, None, None]
+    frame: Optional[Tuple[int, int, int, List[Component]]] = None
+    restart_interval = 0
+    scan: Optional[ScanHeader] = None
+    segments: Tuple[Tuple[int, int], ...] = ()
+
+    while True:
+        b = r.u8()
+        if b != 0xFF:
+            raise JpegFormatError(f"expected marker, got byte {b:#x} at {r.pos - 1}")
+        marker = r.u8()
+        while marker == 0xFF:  # fill bytes before a marker are legal
+            marker = r.u8()
+        if marker == M_EOI:
+            break
+        if marker == M_SOI:
+            raise JpegFormatError("duplicate SOI")
+        if marker in M_SOF_OTHER:
+            raise JpegUnsupportedError(
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) supported"
+            )
+        if marker == M_DAC:
+            raise JpegUnsupportedError("arithmetic coding unsupported")
+        if marker == M_DNL:
+            raise JpegUnsupportedError("DNL unsupported")
+        if marker == M_DQT:
+            _parse_dqt(r, quant, validate)
+        elif marker == M_DHT:
+            _parse_dht(r, dc, ac, validate)
+        elif marker == M_SOF0:
+            if frame is not None:
+                raise JpegFormatError("multiple SOF markers")  # cf. xjpeg.c:362
+            frame = _parse_sof0(r)
+        elif marker == M_DRI:
+            r.u16()
+            restart_interval = r.u16()
+        elif marker == M_SOS:
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            if scan is not None:
+                raise JpegUnsupportedError("multiple scans unsupported")  # xjpeg.c:645
+            scan = _parse_sos(r, frame[3], validate)
+            if headers_only:
+                break
+            bits, width, height, comps0 = frame
+            comps, nhmb, nvmb = derive_geometry(width, height, comps0)
+            n_mcus = nhmb * nvmb
+            expected = (
+                -(-n_mcus // restart_interval) if restart_interval else 1
+            )
+            segments, end_pos = _scan_entropy_segments(
+                data, r.pos, expected, validate
+            )
+            r.pos = end_pos
+        else:
+            # APPn / COM / anything else with a length: skip (xjpeg.c:757).
+            length = r.u16()
+            if length < 2:
+                raise JpegFormatError("marker segment length < 2")
+            r.take(length - 2)
+
+    if frame is None:
+        raise JpegFormatError("no frame (SOF0) found")
+    if scan is None and not headers_only:
+        raise JpegFormatError("no scan (SOS) found")
+
+    bits, width, height, comps0 = frame
+    comps, nhmb, nvmb = derive_geometry(width, height, comps0)
+    if validate:
+        for c in comps:
+            if quant[c.quant_idx] is None:
+                raise JpegFormatError(
+                    f"component {c.comp_id} uses undefined quant table {c.quant_idx}"
+                )
+    header = JpegHeader(
+        width=width,
+        height=height,
+        bits=bits,
+        components=comps,
+        quant_tables=tuple(quant),
+        dc_tables=tuple(dc),
+        ac_tables=tuple(ac),
+        restart_interval=restart_interval,
+        scan=scan,
+        nhmb=nhmb,
+        nvmb=nvmb,
+    )
+    return ParsedJpeg(header=header, data=data, segments=segments)

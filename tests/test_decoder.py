@@ -1,0 +1,112 @@
+"""End-to-end decoder backend tests: host + tpu(device pipeline) vs oracles.
+
+The dual-backend differential strategy of the reference (--impl libjpeg vs
+--impl xjpeg behind one vtbl, jpeg_gpu.c:546-557) applied three ways:
+PIL oracle vs HostDecoder vs TpuDecoder, across every stage cut.
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_gpu_tpu import OutputStage, decode, get_decoder
+from jpeg_gpu_tpu.testing import corpus, oracle
+
+ALL_MODES = ["mono", "4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
+
+
+def test_gray_rgb_bit_exact_vs_pil():
+    img = corpus.synthetic_gray(64, 48, seed=1)
+    data = corpus.pil_jpeg(img, quality=88)
+    got_host = decode(data, out="rgb", impl="host")
+    got_tpu = decode(data, out="rgb", impl="tpu")
+    golden = decode(data, out="rgb", impl="pil")
+    np.testing.assert_array_equal(got_host, golden)
+    np.testing.assert_array_equal(got_tpu, golden)
+
+
+def test_yuv_stage_bit_exact_vs_pil_444():
+    img = corpus.synthetic_rgb(40, 56, seed=2)
+    data = corpus.pil_jpeg(img, quality=90, subsampling="4:4:4")
+    golden = oracle.pil_decode_ycbcr(data)
+    for impl in ("host", "tpu"):
+        out = decode(data, out="yuv", impl=impl)
+        for ci in range(3):
+            np.testing.assert_array_equal(out.planes[ci], golden[..., ci])
+
+
+@pytest.mark.parametrize("subsampling", ["4:2:0", "4:2:2"])
+def test_rgb_subsampled_psnr_vs_pil(subsampling):
+    """Subsampled RGB: nearest vs fancy upsampling -> PSNR-bounded only."""
+    img = corpus.synthetic_rgb(72, 96, seed=3)
+    data = corpus.pil_jpeg(img, quality=90, subsampling=subsampling)
+    golden = decode(data, out="rgb", impl="pil")
+    for impl in ("host", "tpu"):
+        got = decode(data, out="rgb", impl=impl)
+        assert got.shape == golden.shape
+        assert oracle.psnr(got, golden) > 30.0, impl
+
+
+def test_host_and_tpu_rgb_identical():
+    """Host (numpy) and TPU (jnp) exact paths must agree bit for bit."""
+    for mode in ALL_MODES:
+        img = corpus.synthetic_rgb(33, 41, seed=4)
+        enc = corpus.own_jpeg(img, subsampling=mode, quality=75)
+        host = decode(enc.data, out="rgb", impl="host")
+        tpu = decode(enc.data, out="rgb", impl="tpu")
+        np.testing.assert_array_equal(host, tpu, err_msg=mode)
+
+
+@pytest.mark.parametrize("stage", ["quant", "dct"])
+def test_coef_stages_match(stage):
+    img = corpus.synthetic_rgb(32, 32, seed=5)
+    enc = corpus.own_jpeg(img, subsampling="4:2:0", quality=80)
+    host = decode(enc.data, out=stage, impl="host")
+    tpu = decode(enc.data, out=stage, impl="tpu")
+    for a, b in zip(host.coefs, tpu.coefs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pack_stage_available():
+    img = corpus.synthetic_gray(24, 24, seed=6)
+    enc = corpus.own_jpeg(img, quality=80)
+    out = decode(enc.data, out="pack", impl="tpu")
+    assert out.pack is not None and len(out.pack) > 0
+    assert out.index[0].shape == (3, 3)
+
+
+def test_decoder_reuse_and_reset():
+    img = corpus.synthetic_gray(16, 16, seed=7)
+    data = corpus.pil_jpeg(img, quality=85)
+    dec = get_decoder(data, impl="tpu")
+    hdr = dec.decode_header()
+    assert (hdr.width, hdr.height) == (16, 16)
+    a = dec.decode("rgb")
+    dec.reset()
+    b = dec.decode("rgb")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fast_path_close_to_exact():
+    img = corpus.synthetic_rgb(48, 48, seed=8)
+    data = corpus.pil_jpeg(img, quality=90, subsampling="4:2:0")
+    exact = decode(data, out="rgb", impl="tpu", exact=True)
+    fast = decode(data, out="rgb", impl="tpu", exact=False)
+    assert oracle.psnr(exact, fast) > 45.0
+    # float IDCT (+-1) and float color (+-1) roundings can compound.
+    assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 4
+
+
+def test_unsupported_inputs_raise():
+    from jpeg_gpu_tpu.errors import JpegFormatError, JpegUnsupportedError
+
+    with pytest.raises(JpegFormatError):
+        decode(b"\x00\x01\x02", impl="host")
+    # Progressive JPEG must be rejected cleanly.
+    import io
+    from PIL import Image
+
+    img = corpus.synthetic_rgb(32, 32, seed=9)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", progressive=True)
+    with pytest.raises(JpegUnsupportedError):
+        decode(buf.getvalue(), impl="host")
