@@ -36,15 +36,19 @@ class PipelineSpec:
     comp_sizes: Tuple[Tuple[int, int], ...]  # per comp (width, height) in samples
     comp_decs: Tuple[Tuple[int, int], ...]   # per comp (xdec, ydec)
     exact: bool = True                        # islow+int color vs float fast path
+    use_pallas: bool = True                   # fused Pallas kernel on the fast path
 
     @classmethod
-    def from_header(cls, header: JpegHeader, exact: bool = True) -> "PipelineSpec":
+    def from_header(
+        cls, header: JpegHeader, exact: bool = True, use_pallas: bool = True
+    ) -> "PipelineSpec":
         return cls(
             width=header.width,
             height=header.height,
             comp_sizes=tuple((c.width, c.height) for c in header.components),
             comp_decs=tuple((c.xdec, c.ydec) for c in header.components),
             exact=exact,
+            use_pallas=use_pallas,
         )
 
     @property
@@ -56,6 +60,10 @@ def _block_pixels(spec: PipelineSpec, coefs, qtable):
     """Dequant + IDCT + level shift + clamp for one component's blocks."""
     if spec.exact:
         return idct_islow.dequant_idct_islow_pixels(coefs, qtable)
+    if spec.use_pallas:
+        from jpeg_gpu_tpu.ops import idct_pallas
+
+        return idct_pallas.dequant_idct_pixels_fused(coefs, qtable)
     return idct_ops.dequant_idct_pixels(coefs, qtable)
 
 
