@@ -36,9 +36,14 @@ def main() -> None:
     img = corpus.synthetic_rgb(height, width, seed=0)
     data = corpus.pil_jpeg(img, quality=85, subsampling="4:2:0")
 
-    t0 = time.perf_counter()
+    from jpeg_gpu_tpu.host import entropy_native
+
     parsed = parse(data)
-    result = decode_scan(parsed)
+    use_native = entropy_native.available()
+    scan_decode = entropy_native.decode_scan if use_native else decode_scan
+    result = scan_decode(parsed)  # warm (native .so build / LUTs)
+    t0 = time.perf_counter()
+    result = scan_decode(parsed)
     host_entropy_s = time.perf_counter() - t0
     hdr = parsed.header
 
@@ -91,6 +96,7 @@ def main() -> None:
                     "batch": batch,
                     "device_ms_per_batch": round(device_s * 1e3, 3),
                     "host_entropy_mpix_per_s": round(host_mpix_s, 2),
+                    "host_entropy_impl": "native" if use_native else "python",
                     "backend": jax.default_backend(),
                 },
             }

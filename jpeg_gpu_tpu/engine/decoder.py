@@ -64,13 +64,19 @@ class PackOutput:
 
 
 class Decoder:
-    """Base decoder: owns the bitstream, parses lazily, decodes per stage."""
+    """Base decoder: owns the bitstream, parses lazily, decodes per stage.
+
+    ``entropy`` selects the scan decoder: "native" (C++ restart-parallel,
+    host/native/), "python" (reference implementation), or "auto" (native
+    when the shared object is available).
+    """
 
     name = "base"
 
-    def __init__(self, data: bytes, validate: bool = True):
+    def __init__(self, data: bytes, validate: bool = True, entropy: str = "auto"):
         self.data = data
         self.validate = validate
+        self.entropy = entropy
         self._parsed: Optional[ParsedJpeg] = None
         self._scan: Optional[host_entropy.ScanResult] = None
         self._scan_packed = False
@@ -96,9 +102,22 @@ class Decoder:
     # -- shared host entropy stage ------------------------------------------
     def _entropy(self, want_pack: bool = False) -> host_entropy.ScanResult:
         if self._scan is None or (want_pack and not self._scan_packed):
-            self._scan = host_entropy.decode_scan(
-                self._parse(), want_pack=want_pack, validate=self.validate
-            )
+            use_native = False
+            if not want_pack:  # the pack stream is python-path only for now
+                if self.entropy == "native":
+                    use_native = True
+                elif self.entropy == "auto":
+                    from jpeg_gpu_tpu.host import entropy_native
+
+                    use_native = entropy_native.available()
+            if use_native:
+                from jpeg_gpu_tpu.host import entropy_native
+
+                self._scan = entropy_native.decode_scan(self._parse())
+            else:
+                self._scan = host_entropy.decode_scan(
+                    self._parse(), want_pack=want_pack, validate=self.validate
+                )
             self._scan_packed = want_pack
         return self._scan
 
@@ -165,8 +184,14 @@ class TpuDecoder(Decoder):
 
     name = "tpu"
 
-    def __init__(self, data: bytes, validate: bool = True, exact: bool = True):
-        super().__init__(data, validate=validate)
+    def __init__(
+        self,
+        data: bytes,
+        validate: bool = True,
+        entropy: str = "auto",
+        exact: bool = True,
+    ):
+        super().__init__(data, validate=validate, entropy=entropy)
         self.exact = exact
 
     def decode(self, out: StageArg = OutputStage.RGB):

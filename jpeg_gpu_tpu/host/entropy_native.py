@@ -1,0 +1,158 @@
+"""ctypes binding for the native (C++) restart-parallel entropy decoder.
+
+Drop-in replacement for the Python scan decoder (host/entropy.py) producing
+identical dense coefficient tensors; selected automatically by the engine
+when the shared object is available (built on demand, host/native/build.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from jpeg_gpu_tpu.errors import JpegFormatError
+from jpeg_gpu_tpu.host.entropy import ScanResult
+from jpeg_gpu_tpu.host.parser import ParsedJpeg
+from jpeg_gpu_tpu.utils.logging import get_logger
+
+log = get_logger("entropy")
+
+_ERROR_NAMES = {
+    1: "bad Huffman table",
+    2: "invalid DC Huffman code",
+    3: "invalid AC Huffman code",
+    4: "AC index outside block",
+    5: "bad parameters",
+}
+
+
+class _ScanConfig(ctypes.Structure):
+    _fields_ = [
+        ("ncomps", ctypes.c_int32),
+        ("nhmb", ctypes.c_int32),
+        ("nvmb", ctypes.c_int32),
+        ("restart_interval", ctypes.c_int32),
+        ("hsamp", ctypes.c_int32 * 4),
+        ("vsamp", ctypes.c_int32 * 4),
+        ("dc_tbl", ctypes.c_int32 * 4),
+        ("ac_tbl", ctypes.c_int32 * 4),
+    ]
+
+
+_lib = None
+_lib_lock = threading.Lock()
+_unavailable = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _unavailable
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _unavailable:
+            return None
+        from jpeg_gpu_tpu.host.native.build import shared_object_path
+
+        path = shared_object_path()
+        if path is None:
+            _unavailable = True
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.xjpeg_decode_scan.restype = ctypes.c_int32
+        lib.xjpeg_decode_scan.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.POINTER(ctypes.c_int64),       # seg_starts
+            ctypes.POINTER(ctypes.c_int64),       # seg_ends
+            ctypes.c_int64,                       # nseg
+            ctypes.c_char_p,                      # huff_counts (8*16)
+            ctypes.c_char_p,                      # huff_symbols (8*256)
+            ctypes.c_char_p,                      # huff_present (8)
+            ctypes.POINTER(_ScanConfig),
+            ctypes.POINTER(ctypes.c_void_p),      # coef_out pointers
+            ctypes.c_int32,                       # n_threads
+        ]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def default_threads() -> int:
+    env = os.environ.get("TPU_JPEG_HOST_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(os.cpu_count() or 1, 16)
+
+
+def decode_scan(
+    parsed: ParsedJpeg, n_threads: Optional[int] = None
+) -> ScanResult:
+    """Native scan decode -> dense per-component coefficients."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    header = parsed.header
+    scan = header.scan
+    if scan is None:
+        raise JpegFormatError("no scan to decode")
+    if n_threads is None:
+        n_threads = default_threads()
+
+    counts = np.zeros((8, 16), dtype=np.uint8)
+    symbols = np.zeros((8, 256), dtype=np.uint8)
+    present = np.zeros(8, dtype=np.uint8)
+    for slot, spec in enumerate(list(header.dc_tables) + list(header.ac_tables)):
+        if spec is None:
+            continue
+        counts[slot] = spec.counts
+        symbols[slot, : len(spec.symbols)] = spec.symbols
+        present[slot] = 1
+
+    cfg = _ScanConfig()
+    cfg.ncomps = len(scan.comp_idx)
+    cfg.nhmb = header.nhmb
+    cfg.nvmb = header.nvmb
+    cfg.restart_interval = header.restart_interval
+    comps = [header.components[i] for i in scan.comp_idx]
+    for ci, comp in enumerate(comps):
+        cfg.hsamp[ci] = comp.hsamp
+        cfg.vsamp[ci] = comp.vsamp
+        cfg.dc_tbl[ci] = scan.dc_tbl[ci]
+        cfg.ac_tbl[ci] = scan.ac_tbl[ci]
+
+    coefs: List[np.ndarray] = [
+        np.zeros((c.vblocks, c.hblocks, 8, 8), dtype=np.int16) for c in comps
+    ]
+    out_ptrs = (ctypes.c_void_p * 4)()
+    for ci, arr in enumerate(coefs):
+        out_ptrs[ci] = arr.ctypes.data_as(ctypes.c_void_p).value
+
+    nseg = len(parsed.segments)
+    seg_starts = (ctypes.c_int64 * nseg)(*[s for s, _ in parsed.segments])
+    seg_ends = (ctypes.c_int64 * nseg)(*[e for _, e in parsed.segments])
+
+    rc = lib.xjpeg_decode_scan(
+        parsed.data,
+        len(parsed.data),
+        seg_starts,
+        seg_ends,
+        nseg,
+        counts.tobytes(),
+        symbols.tobytes(),
+        present.tobytes(),
+        ctypes.byref(cfg),
+        out_ptrs,
+        n_threads,
+    )
+    if rc != 0:
+        raise JpegFormatError(
+            f"native entropy decode failed: {_ERROR_NAMES.get(rc, rc)}"
+        )
+    return ScanResult(coefs=coefs)

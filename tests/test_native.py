@@ -1,0 +1,74 @@
+"""Native (C++) entropy decoder: differential vs the Python reference."""
+
+import numpy as np
+import pytest
+
+from jpeg_gpu_tpu.host import entropy, entropy_native
+from jpeg_gpu_tpu.host.parser import parse
+from jpeg_gpu_tpu.testing import corpus
+
+pytestmark = pytest.mark.skipif(
+    not entropy_native.available(), reason="native decoder not built"
+)
+
+ALL_MODES = ["mono", "4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+@pytest.mark.parametrize("restart", [0, 3])
+def test_native_matches_python(mode, restart):
+    img = corpus.synthetic_rgb(41, 67, seed=3)
+    enc = corpus.own_jpeg(img, subsampling=mode, quality=80, restart_interval=restart)
+    parsed = parse(enc.data)
+    py = entropy.decode_scan(parsed)
+    nat = entropy_native.decode_scan(parsed)
+    for a, b in zip(py.coefs, nat.coefs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_16bit_qt_and_threads():
+    img = corpus.synthetic_gray(64, 96, seed=5)
+    enc = corpus.own_jpeg(img, quality=10, restart_interval=2, force_16bit_qt=True)
+    parsed = parse(enc.data)
+    py = entropy.decode_scan(parsed)
+    for nt in (1, 4):
+        nat = entropy_native.decode_scan(parsed, n_threads=nt)
+        np.testing.assert_array_equal(py.coefs[0], nat.coefs[0])
+
+
+def test_native_pil_encoded_optimized():
+    img = corpus.synthetic_rgb(80, 64, seed=8)
+    data = corpus.pil_jpeg(img, quality=92, subsampling="4:2:0", optimize=True,
+                           restart_marker_blocks=2)
+    parsed = parse(data)
+    py = entropy.decode_scan(parsed)
+    nat = entropy_native.decode_scan(parsed)
+    for a, b in zip(py.coefs, nat.coefs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_engine_uses_native_by_default():
+    from jpeg_gpu_tpu import decode
+
+    img = corpus.synthetic_gray(32, 32, seed=1)
+    data = corpus.pil_jpeg(img, quality=85)
+    a = decode(data, out="rgb", impl="tpu", entropy="native")
+    b = decode(data, out="rgb", impl="tpu", entropy="python")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_rejects_corrupt_stream():
+    from jpeg_gpu_tpu.errors import JpegFormatError
+
+    img = corpus.synthetic_gray(32, 32, seed=1)
+    enc = corpus.own_jpeg(img, quality=85)
+    data = bytearray(enc.data)
+    parsed = parse(bytes(data))
+    # Corrupt entropy data badly enough and decode must fail cleanly
+    # (invalid code) or succeed with garbage -- never crash.
+    s, e = parsed.segments[0]
+    data[s : e] = bytes([0b10101010] * (e - s))
+    try:
+        entropy_native.decode_scan(parse(bytes(data), validate=False))
+    except JpegFormatError:
+        pass
