@@ -58,32 +58,100 @@ def main() -> None:
         for c in hdr.components
     )
 
-    # Chain iterations inside one jit with a data dependency and consume the
-    # full output via checksum: prevents XLA dead-code elimination and keeps
-    # the host/tunnel round-trip out of the steady-state measurement (the
-    # analogue of the reference timing around glFinish, jpeg_gpu.c:1439).
-    @jax.jit
-    def chained(coefs, qtables, iters):
-        def body(_, carry):
-            c0 = coefs[0] + (carry % 2).astype(jnp.int16) * 0
-            out = pipeline.decode_rgb.__wrapped__(
-                spec, (c0,) + coefs[1:], qtables
-            )
-            return jnp.sum(out.astype(jnp.uint32)) + carry
+    # Measurement methodology (hard-won on this setup):
+    #  * One dispatch + scalar fetch through the device tunnel costs ~30 ms
+    #    of pure latency, so iterations are chained INSIDE one jit.
+    #  * The chain must carry a REAL data dependency into the decode (the
+    #    DC perturbation below) and consume the full output via checksum,
+    #    or XLA hoists the loop-invariant decode out of the loop and the
+    #    measurement is fiction.
+    #  * Throughput = slope between two chain lengths, which cancels the
+    #    fixed dispatch latency (analogous to the reference timing around
+    #    glFinish, jpeg_gpu.c:1439, but latency-corrected).
+    def make_chained(iters):
+        @jax.jit
+        def chained(coefs, qtables):
+            def body(_, carry):
+                c0 = coefs[0] + (carry % 3).astype(jnp.int16)
+                out = pipeline.decode_rgb.__wrapped__(
+                    spec, (c0,) + coefs[1:], qtables
+                )
+                return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
+                    jnp.uint32
+                )
 
-        return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
+            return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
-    iters = 20
-    int(chained(coefs, qtables, iters))  # warm up / compile
-    device_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(chained(coefs, qtables, iters))
-        device_s = min(device_s, (time.perf_counter() - t0) / iters)
+        return chained
+
+    def measure(iters):
+        fn = make_chained(iters)
+        int(fn(coefs, qtables))  # warm up / compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(fn(coefs, qtables))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 20, 120
+    device_s = (measure(k2) - measure(k1)) / (k2 - k1)
+
+    # Fully on-device decode (device entropy kernel + pixel pipeline in one
+    # jit): the north-star path. Needs a restart-heavy stream.
+    data_dri = corpus.pil_jpeg(
+        img, quality=85, subsampling="4:2:0", restart_marker_blocks=2
+    )
+    parsed_dri = parse(data_dri)
+    from jpeg_gpu_tpu.host import segments as seg_mod
+    from jpeg_gpu_tpu.ops import entropy_device as edev
+
+    plan = seg_mod.build_plan(parsed_dri)
+    streams = jnp.asarray(plan.streams)
+    plan_rest = tuple(
+        jnp.asarray(x)
+        for x in (
+            plan.comp_of_step, plan.dc_slot_of_step, plan.ac_slot_of_step,
+            plan.maxcode, plan.delta, plan.symbols,
+        )
+    )
+    geom = tuple((c.hsamp, c.vsamp) for c in hdr.components)
+
+    def make_full(iters):
+        @jax.jit
+        def chained(streams, *rest):
+            def body(_, carry):
+                s = streams ^ (carry % 2).astype(jnp.int32)
+                out, err = edev.decode_segments_device(s, *rest)
+                comps = edev.assemble_components(
+                    out, plan.n_segments, plan.mcus_per_segment,
+                    hdr.n_mcus, hdr.nhmb, hdr.nvmb, geom,
+                )
+                rgb = pipeline.decode_rgb.__wrapped__(spec, comps, qtables)
+                return (
+                    jnp.sum(rgb.astype(jnp.uint32)) % 997
+                    + jnp.sum(err) % 13
+                    + carry
+                ).astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return chained
+
+    def measure_full(iters):
+        fn = make_full(iters)
+        int(fn(streams, *plan_rest))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(fn(streams, *plan_rest))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    full_s = (measure_full(13) - measure_full(3)) / 10
 
     mpix = width * height * batch / 1e6
     device_mpix_s = mpix / device_s
     host_mpix_s = (width * height / 1e6) / host_entropy_s
+    full_mpix_s = (width * height / 1e6) / full_s
 
     print(
         json.dumps(
@@ -95,6 +163,7 @@ def main() -> None:
                 "detail": {
                     "batch": batch,
                     "device_ms_per_batch": round(device_s * 1e3, 3),
+                    "full_on_device_decode_mpix_per_s": round(full_mpix_s, 1),
                     "host_entropy_mpix_per_s": round(host_mpix_s, 2),
                     "host_entropy_impl": "native" if use_native else "python",
                     "backend": jax.default_backend(),

@@ -180,7 +180,13 @@ def _np_blocks_to_plane(blocks: np.ndarray) -> np.ndarray:
 
 
 class TpuDecoder(Decoder):
-    """Host entropy decode + jitted device pipeline for the pixel stages."""
+    """Device pipeline decoder.
+
+    ``entropy="device"`` runs the Huffman decode itself on the TPU
+    (restart-parallel Pallas kernel, engine/device_entropy.py) -- the host
+    only parses markers and packs segment words.  Other entropy modes
+    decode on the host (native C++ or Python) and upload coefficients.
+    """
 
     name = "tpu"
 
@@ -198,6 +204,15 @@ class TpuDecoder(Decoder):
         from jpeg_gpu_tpu.engine import pipeline
 
         stage = _stage(out)
+        if self.entropy == "device" and stage != OutputStage.PACK:
+            from jpeg_gpu_tpu.engine.device_entropy import decode_image_device
+
+            dev = decode_image_device(self._parse(), stage=stage, exact=self.exact)
+            if stage in (OutputStage.QUANT, OutputStage.DCT):
+                return CoefOutput(coefs=[np.asarray(c) for c in dev])
+            if stage == OutputStage.YUV:
+                return YuvOutput(planes=[np.asarray(p) for p in dev])
+            return np.asarray(dev)
         if stage == OutputStage.PACK:
             return self._coef_stage(stage)
         hdr = self._parse().header

@@ -1,0 +1,115 @@
+"""Engine glue: parsed JPEG -> on-device entropy decode -> coefficients.
+
+Combines the host-side stream packing (host/segments.py), the Pallas
+decoder (ops/entropy_device.py) and the XLA assembly post-pass into the
+QUANT-stage contract the pixel pipeline consumes -- the full "pack upload"
+path: the host ships entropy bits; the device does everything else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_gpu_tpu.errors import JpegFormatError
+from jpeg_gpu_tpu.host.parser import ParsedJpeg
+from jpeg_gpu_tpu.host.segments import DeviceScanPlan, build_plan
+from jpeg_gpu_tpu.ops import entropy_device
+
+
+@dataclasses.dataclass
+class DeviceEntropyResult:
+    coefs: Tuple[jax.Array, ...]  # per comp (vb, hb, 8, 8) int16, on device
+    err: jax.Array                # (B, 8, 128) int32 error flags
+
+
+def entropy_decode_device(
+    parsed: ParsedJpeg,
+    interpret: Optional[bool] = None,
+    check_errors: bool = True,
+) -> DeviceEntropyResult:
+    """Decode the scan's restart segments on the TPU."""
+    header = parsed.header
+    plan = build_plan(parsed)
+    comp_geometry = tuple(
+        (header.components[i].hsamp, header.components[i].vsamp)
+        for i in header.scan.comp_idx
+    )
+    kernel_out, err = entropy_device.decode_segments_device(
+        jnp.asarray(plan.streams),
+        jnp.asarray(plan.comp_of_step),
+        jnp.asarray(plan.dc_slot_of_step),
+        jnp.asarray(plan.ac_slot_of_step),
+        jnp.asarray(plan.maxcode),
+        jnp.asarray(plan.delta),
+        jnp.asarray(plan.symbols),
+        interpret=interpret,
+    )
+    coefs = _assemble(
+        kernel_out,
+        plan.n_segments,
+        plan.mcus_per_segment,
+        header.n_mcus,
+        header.nhmb,
+        header.nvmb,
+        comp_geometry,
+    )
+    if check_errors:
+        # The last segment may be short (fewer MCUs); the kernel decodes
+        # its padded tail into discarded block steps, which can raise
+        # spurious flags -- so it is exempt from the check.
+        flags = np.asarray(err).reshape(-1)[: max(plan.n_segments - 1, 0)]
+        if flags.any():
+            bad = int(np.flatnonzero(flags)[0])
+            raise JpegFormatError(
+                f"device entropy decode failed in restart segment {bad} "
+                f"(flags={int(flags[bad])})"
+            )
+    return DeviceEntropyResult(coefs=coefs, err=err)
+
+
+def _assemble(kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom):
+    import functools
+
+    fn = functools.partial(
+        entropy_device.assemble_components,
+        n_segments=n_segments,
+        mcus_per_segment=mcus_per_segment,
+        n_mcus=n_mcus,
+        nhmb=nhmb,
+        nvmb=nvmb,
+        comp_geometry=geom,
+    )
+    return jax.jit(fn)(kernel_out)
+
+
+def decode_image_device(
+    parsed: ParsedJpeg,
+    stage="rgb",
+    exact: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Fully on-device decode: entropy bits in HBM -> pixels in HBM.
+
+    The complete north-star path (BASELINE.json): the host only parses
+    markers and packs destuffed segment words; Huffman decode, dequant,
+    IDCT, upsample and color conversion all run on the TPU with no
+    intermediate host round-trip.
+    """
+    from jpeg_gpu_tpu.engine import pipeline
+    from jpeg_gpu_tpu.engine.stages import OutputStage
+
+    header = parsed.header
+    result = entropy_decode_device(parsed, interpret=interpret)
+    spec = pipeline.PipelineSpec.from_header(header, exact=exact)
+    qtables = tuple(
+        header.quant_for(c).values.astype(np.int32) for c in header.components
+    )
+    stage = stage if isinstance(stage, OutputStage) else OutputStage(stage)
+    if stage == OutputStage.QUANT:
+        return result.coefs
+    return pipeline.run(spec, stage, result.coefs, qtables)

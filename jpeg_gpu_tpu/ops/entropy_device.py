@@ -1,0 +1,359 @@
+"""Device (TPU) restart-parallel Huffman entropy decoder.
+
+The capability the reference never achieved: its CPU does the Huffman work
+every frame (xjpeg_decode_scan, SURVEY.md "north star").  Here the entropy
+decode itself runs on the TPU as a Pallas kernel, so the host uploads
+*entropy bits* (the pack-mode ideal, README.md:18-20) and the device
+produces dense quantized coefficients in HBM.
+
+Architecture (derived from what Mosaic's VPU actually supports -- per-row
+lane-shuffle gather on (8, 128) int32 tiles, no scatter, no multi-tile
+gather):
+
+* **1024 restart segments decode in lockstep**, one per (sublane, lane)
+  position.  Restart segments are independent by construction (bit
+  buffer + DC predictors reset, xjpeg.c:613-618), so lanes never
+  communicate.
+* **Block-lockstep control flow**: the grid walks the segment's block
+  sequence (identical MCU-interleaved structure for every segment), so
+  the Huffman table of the current step is a *scalar* (SMEM), not a
+  per-lane value.  Within a block, a while-loop decodes one symbol per
+  iteration for every still-active lane; lanes that hit EOB idle until
+  the slowest lane finishes (utilization cost ~2-4x; revisit with
+  symbol-lockstep + expansion kernel).
+* **Canonical-code compare-scan** instead of a 64K LUT: 16 unrolled
+  compares against scalar maxcode[], then one 256-entry symbol gather
+  (two (8,128) lane-shuffle gathers + select).
+* **64-bit bit window per lane** in two int32 registers, MSB-aligned;
+  all shifts are per-lane variable shifts (VPU-native).  Refill fetches
+  one 32-bit word per lane via a masked scan over the word axis (the
+  only way to express a per-lane row gather today); the stream layout
+  (NW, 8, 128) is produced host-side (host/segments.py).
+* **No scatter anywhere**: coefficients accumulate into a (64, 8, 128)
+  zigzag-indexed register block via a broadcast one-hot compare, and the
+  completed block is written densely at its grid step.
+
+Output: (B, T, 64, 8, 128) int16 -- zigzag-ordered coefficients of block
+step t of segment (b*1024 + s*128 + l) -- plus per-segment error flags.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+SEG_SHAPE = (SUBLANES, LANES)
+
+ERR_BAD_CODE = 1
+ERR_OVERRUN = 2
+
+_MAX_CONSUME = 31  # code (<=16) + amplitude (<=15) bits per symbol
+
+
+def _lsr(x, n):
+    """Logical shift right with per-lane counts; n must be in [0, 31]."""
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _lsr_safe(x, n):
+    """Logical shift right; n in [0, 32] (32 -> 0)."""
+    return jnp.where(n >= 32, 0, _lsr(x, jnp.minimum(n, 31)))
+
+
+def _shl_safe(x, n):
+    """Shift left; n in [0, 32] (32 -> 0)."""
+    return jnp.where(n >= 32, 0, jnp.left_shift(x, jnp.minimum(n, 31)))
+
+
+def _gather_lanes(tile, idx):
+    """tile (8,128), idx (8,128) in [0,128) -> tile[s, idx[s,l]]."""
+    return jnp.take_along_axis(tile, idx, axis=1)
+
+
+def _entropy_kernel(
+    # scalar prefetch (SMEM):
+    comp_map_ref,    # (T,) int32: frame component of block step t
+    dcslot_ref,      # (T,) int32: DC table slot (0..3)
+    acslot_ref,      # (T,) int32: AC table slot (4..7)
+    maxcode_ref,     # (8, 16) int32
+    delta_ref,       # (8, 16) int32 (valptr - mincode per length)
+    # tensor inputs (VMEM):
+    stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
+    symbols_ref,     # (8, 2, 8, 128) int32: symbol tables
+    # outputs:
+    out_ref,         # (1, 1, 64, 8, 128) int16: this block step's coefs
+    err_ref,         # (1, 8, 128) int32: per-segment error flags
+    # scratch:
+    state_ref,       # (8, 8, 128) int32: hi, lo, navail, wp, dc0..dc3
+):
+    t = pl.program_id(1)
+    nw = stream_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _init():
+        state_ref[:] = jnp.zeros((8,) + SEG_SHAPE, jnp.int32)
+        err_ref[0] = jnp.zeros(SEG_SHAPE, jnp.int32)
+
+    hi = state_ref[0]
+    lo = state_ref[1]
+    navail = state_ref[2]
+    wp = state_ref[3]
+
+    def fetch_word(wp):
+        """Per-lane word gather: word[s,l] = stream[wp[s,l], s, l].
+
+        A masked scan over the word axis -- the only per-lane row gather
+        Mosaic can express today.  Statically unrolled for small streams
+        (no loop/branch overhead in the hot path).
+        """
+        if nw <= 64:
+            acc = jnp.zeros(SEG_SHAPE, jnp.int32)
+            for w in range(nw):
+                acc = jnp.where(wp == w, stream_ref[0, w], acc)
+            return acc
+
+        def body(w, acc):
+            return jnp.where(wp == w, stream_ref[0, w], acc)
+        return jax.lax.fori_loop(0, nw, body, jnp.zeros(SEG_SHAPE, jnp.int32))
+
+    def refill(window):
+        """One masked fetch: tops the 64-bit window back above 32 bits.
+
+        Branch-free (no scalar syncs -- those cost more than the masked
+        work).  Invariant: one fetch per symbol keeps navail in [1, 64]
+        given <= 31 bits consumed per symbol; peek16 only needs 16.
+        """
+        hi, lo, navail, wp = window
+        w = fetch_word(wp)
+        need = navail <= 32
+        hi = jnp.where(need, hi | _lsr_safe(w, navail), hi)
+        lo = jnp.where(need, lo | _shl_safe(w, 32 - navail), lo)
+        navail = jnp.where(need, navail + 32, navail)
+        wp = jnp.where(need, wp + 1, wp)
+        return hi, lo, navail, wp
+
+    def consume(window, n):
+        """Advance the window by n (per-lane, 0 <= n <= 31) bits."""
+        hi, lo, navail, wp = window
+        hi = _shl_safe(hi, n) | _lsr_safe(lo, 32 - n)
+        lo = _shl_safe(lo, n)
+        return hi, lo, navail - n, wp
+
+    def decode_symbol(window, slot):
+        """Canonical Huffman decode from the next <=16 bits.
+
+        Returns (symbol, code_len); code_len==0 marks an invalid code.
+        The compare-scan is the vectorised form of the spec's F.2.2.3
+        DECODE procedure (cf. the LUT build in xjpeg.c:311-336).
+        """
+        hi = window[0]
+        ln = jnp.zeros(SEG_SHAPE, jnp.int32)
+        idx = jnp.zeros(SEG_SHAPE, jnp.int32)
+        done = jnp.zeros(SEG_SHAPE, jnp.bool_)
+        for length in range(1, 17):
+            code = _lsr(hi, 32 - length)
+            hit = jnp.logical_and(
+                jnp.logical_not(done), code <= maxcode_ref[slot, length - 1]
+            )
+            ln = jnp.where(hit, length, ln)
+            idx = jnp.where(hit, code + delta_ref[slot, length - 1], idx)
+            done = jnp.logical_or(done, hit)
+        idx = jnp.clip(idx, 0, 255)
+        sym_lo = _gather_lanes(symbols_ref[slot, 0], jnp.minimum(idx, 127))
+        sym_hi = _gather_lanes(symbols_ref[slot, 1], jnp.maximum(idx - 128, 0))
+        sym = jnp.where(idx < 128, sym_lo, sym_hi)
+        return sym, ln
+
+    def extract_extend(window, ln, size):
+        """Amplitude bits at [ln, ln+size) of the window, EXTENDed."""
+        hi = window[0]
+        raw = _lsr_safe(jnp.left_shift(hi, jnp.minimum(ln, 31)), 32 - size)
+        half = jnp.left_shift(1, jnp.maximum(size - 1, 0))
+        full = jnp.left_shift(1, jnp.minimum(size, 30))
+        neg = jnp.logical_and(size > 0, raw < half)
+        return jnp.where(neg, raw - full + 1, raw)
+
+    window = (hi, lo, navail, wp)
+    comp = comp_map_ref[t]
+    dc_slot = dcslot_ref[t]
+    ac_slot = acslot_ref[t]
+
+    # ---- DC (uniform across lanes) ----
+    window = refill(window)
+    sym, ln = decode_symbol(window, dc_slot)
+    bad_dc = ln == 0
+    size = jnp.minimum(sym, 15)
+    diff = extract_extend(window, ln, size)
+    window = consume(window, jnp.where(bad_dc, 0, ln + size))
+    dc = state_ref[4 + comp] + jnp.where(bad_dc, 0, diff)
+    state_ref[4 + comp] = dc
+
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64,) + SEG_SHAPE, 0)
+    acc = jnp.where(iota64 == 0, dc[None], 0).astype(jnp.int32)
+
+    err = err_ref[0] | jnp.where(bad_dc, ERR_BAD_CODE, 0)
+
+    # ---- AC loop: one symbol per iteration for every active lane ----
+    # A fixed fori_loop(63) with per-lane active masks: finished lanes do
+    # masked no-ops.  Deliberately NOT a while_loop -- the per-iteration
+    # any()-reduction and lax.cond scalar syncs measured ~20x slower than
+    # simply running the worst-case iteration count branch-free.
+    # Masks carried as int32 (0/1): Mosaic cannot yield i1 vectors.
+    def ac_body(_, carry):
+        hi, lo, navail, wp, k, active, acc, err = carry
+        act = active > 0
+        window = refill((hi, lo, navail, wp))
+        sym, ln = decode_symbol(window, ac_slot)
+        bad = jnp.logical_and(act, ln == 0)
+        sym = jnp.where(bad, 0, sym)  # treat as EOB to make progress
+        run = _lsr(sym, 4)
+        size = sym & 15
+        is_eob = sym == 0
+        val = extract_extend(window, ln, size)
+        newk = k + run + 1
+        over = jnp.logical_and(
+            jnp.logical_and(act, jnp.logical_not(is_eob)), newk > 63
+        )
+        write = jnp.logical_and(
+            jnp.logical_and(act, size > 0),
+            jnp.logical_and(jnp.logical_not(over), jnp.logical_not(is_eob)),
+        )
+        acc = acc + jnp.where(
+            jnp.logical_and(iota64 == newk[None], write[None]), val[None], 0
+        )
+        consumed = jnp.where(
+            jnp.logical_and(act, jnp.logical_not(bad)), ln + size, 0
+        )
+        window = consume(window, consumed)
+        k = jnp.where(
+            jnp.logical_and(act, jnp.logical_not(is_eob)),
+            jnp.minimum(newk, 63),
+            k,
+        )
+        still = jnp.logical_and(
+            act, jnp.logical_and(jnp.logical_not(is_eob), k < 63)
+        )
+        still = jnp.logical_and(still, jnp.logical_not(over))
+        err = err | jnp.where(bad, ERR_BAD_CODE, 0) | jnp.where(over, ERR_OVERRUN, 0)
+        hi, lo, navail, wp = window
+        return hi, lo, navail, wp, k, still.astype(jnp.int32), acc, err
+
+    hi, lo, navail, wp = window
+    k0 = jnp.zeros(SEG_SHAPE, jnp.int32)
+    active0 = jnp.logical_not(bad_dc).astype(jnp.int32)
+    hi, lo, navail, wp, _, _, acc, err = jax.lax.fori_loop(
+        0, 63, ac_body, (hi, lo, navail, wp, k0, active0, acc, err)
+    )
+
+    out_ref[0, 0] = acc.astype(jnp.int16)
+    err_ref[0] = err
+    state_ref[0] = hi
+    state_ref[1] = lo
+    state_ref[2] = navail
+    state_ref[3] = wp
+
+
+def decode_segments_device(
+    streams: jax.Array,       # (B, NW, 8, 128) int32
+    comp_map: jax.Array,      # (T,) int32
+    dcslot_map: jax.Array,    # (T,) int32
+    acslot_map: jax.Array,    # (T,) int32
+    maxcode: jax.Array,       # (8, 16) int32
+    delta: jax.Array,         # (8, 16) int32
+    symbols: jax.Array,       # (8, 2, 8, 128) int32
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the device entropy decoder.
+
+    Returns (coefs, err): coefs (B, T, 64, 8, 128) int16 zigzag-ordered,
+    err (B, 8, 128) int32 per-segment error flags (0 = clean).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, nw = streams.shape[0], streams.shape[1]
+    t = comp_map.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nw, SUBLANES, LANES),
+                lambda bi, ti, *_: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 64, SUBLANES, LANES),
+                lambda bi, ti, *_: (bi, ti, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, SUBLANES, LANES), jnp.int32)],
+    )
+    coefs, err = pl.pallas_call(
+        _entropy_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, 64, SUBLANES, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((b, SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(comp_map, dcslot_map, acslot_map, maxcode, delta, streams, symbols)
+    return coefs, err
+
+
+def assemble_components(
+    kernel_out: jax.Array,          # (B, T, 64, 8, 128) int16
+    n_segments: int,
+    mcus_per_segment: int,
+    n_mcus: int,
+    nhmb: int,
+    nvmb: int,
+    comp_geometry: Tuple[Tuple[int, int], ...],  # per comp (hsamp, vsamp)
+):
+    """XLA post-pass: kernel output -> per-component (vb, hb, 8, 8) coefs.
+
+    Pure reshapes/transposes plus one static de-zig-zag gather; runs on
+    device inside the same jit as the pixel pipeline.  Block step order is
+    the MCU-interleaved scan order (components in scan order, sub-blocks
+    row-major), identical for every segment.
+    """
+    from jpeg_gpu_tpu.ops.zigzag import DEZIGZAG
+
+    b, t = kernel_out.shape[:2]
+    nseg_slots = b * SUBLANES * LANES
+    x = kernel_out.reshape(b, t, 64, SUBLANES * LANES)
+    x = x.transpose(0, 3, 1, 2).reshape(nseg_slots, t, 64)[:n_segments]
+    bpm = sum(hs * vs for hs, vs in comp_geometry)
+    assert t == mcus_per_segment * bpm
+    # (nseg, R, bpm, 64) -> (nseg*R mcus, bpm, 64), drop padding MCUs.
+    x = x.reshape(n_segments * mcus_per_segment, bpm, 64)
+    x = x[:n_mcus]
+    out = []
+    off = 0
+    dez = jnp.asarray(DEZIGZAG)
+    for hs, vs in comp_geometry:
+        nb = hs * vs
+        yc = x[:, off : off + nb, :]                      # (n_mcus, vs*hs, 64)
+        off += nb
+        yc = yc.reshape(nvmb, nhmb, vs, hs, 64)
+        yc = yc.transpose(0, 2, 1, 3, 4)                  # (nvmb, vs, nhmb, hs, 64)
+        yc = yc.reshape(nvmb * vs, nhmb * hs, 64)
+        nat = jnp.take(yc, dez, axis=-1)                  # de-zig-zag
+        out.append(nat.reshape(nvmb * vs, nhmb * hs, 8, 8))
+    return tuple(out)

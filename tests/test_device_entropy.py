@@ -1,0 +1,84 @@
+"""Device (TPU) entropy decoder tests -- interpret mode on CPU.
+
+Differential against the host decoders across subsampling modes, restart
+intervals and encoders; plus the full on-device decode path through the
+public API.
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_gpu_tpu import decode
+from jpeg_gpu_tpu.host import entropy
+from jpeg_gpu_tpu.host.parser import parse
+from jpeg_gpu_tpu.engine.device_entropy import entropy_decode_device
+from jpeg_gpu_tpu.errors import JpegFormatError
+from jpeg_gpu_tpu.testing import corpus
+
+ALL_MODES = ["mono", "4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
+
+
+def _check(enc_data, **kw):
+    parsed = parse(enc_data)
+    ref = entropy.decode_scan(parsed)
+    res = entropy_decode_device(parsed, interpret=True, **kw)
+    for a, b in zip(res.coefs, ref.coefs):
+        np.testing.assert_array_equal(np.asarray(a), b.astype(np.int16))
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_device_entropy_matches_host(mode):
+    img = corpus.synthetic_rgb(32, 48, seed=3)
+    enc = corpus.own_jpeg(img, subsampling=mode, quality=80, restart_interval=1)
+    _check(enc.data)
+
+
+@pytest.mark.parametrize("restart", [1, 2, 5])
+def test_device_entropy_restart_intervals(restart):
+    img = corpus.synthetic_gray(40, 56, seed=4)
+    enc = corpus.own_jpeg(img, quality=75, restart_interval=restart)
+    _check(enc.data)
+
+
+def test_device_entropy_no_restart_single_segment():
+    """A stream without DRI is one big segment (device still handles it)."""
+    img = corpus.synthetic_gray(24, 24, seed=5)
+    enc = corpus.own_jpeg(img, quality=85)
+    _check(enc.data)
+
+
+def test_device_entropy_pil_encoded():
+    img = corpus.synthetic_rgb(48, 64, seed=6)
+    data = corpus.pil_jpeg(
+        img, quality=90, subsampling="4:2:0", optimize=True, restart_marker_blocks=2
+    )
+    _check(data)
+
+
+def test_full_device_decode_rgb_via_api():
+    img = corpus.synthetic_gray(48, 48, seed=7)
+    data = corpus.pil_jpeg(img, quality=88, restart_marker_blocks=3)
+    a = decode(data, out="rgb", impl="tpu", entropy="device")
+    b = decode(data, out="rgb", impl="host")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_full_device_decode_yuv_420():
+    img = corpus.synthetic_rgb(32, 32, seed=8)
+    enc = corpus.own_jpeg(img, subsampling="4:2:0", quality=80, restart_interval=1)
+    a = decode(enc.data, out="yuv", impl="tpu", entropy="device")
+    b = decode(enc.data, out="yuv", impl="host")
+    for pa, pb in zip(a.planes, b.planes):
+        np.testing.assert_array_equal(pa, pb)
+
+
+def test_device_entropy_corrupt_stream_flags_error():
+    img = corpus.synthetic_gray(32, 32, seed=9)
+    enc = corpus.own_jpeg(img, quality=85, restart_interval=1)
+    data = bytearray(enc.data)
+    parsed = parse(bytes(data))
+    s, e = parsed.segments[0]
+    data[s:e] = bytes([0b10101010] * (e - s))
+    parsed2 = parse(bytes(data), validate=False)
+    with pytest.raises(JpegFormatError):
+        entropy_decode_device(parsed2, interpret=True)
