@@ -1,0 +1,159 @@
+"""Command-line driver (the reference's app layer, jpeg_gpu.c:473-700).
+
+Same control surface as the reference minus the GL window: pick a decoder
+implementation and an output stage, print headers, dump decoded data for
+differential testing, or run the repeated-decode benchmark loop (the
+render loop's role, jpeg_gpu.c:1228-1461, with cpu/device time split).
+
+    python -m jpeg_gpu_tpu image.jpg                   # decode, report
+    python -m jpeg_gpu_tpu -H image.jpg                # header only
+    python -m jpeg_gpu_tpu -d -o quant image.jpg       # dump stage data
+    python -m jpeg_gpu_tpu -b 50 image.jpg             # benchmark loop
+    python -m jpeg_gpu_tpu --save out.png image.jpg    # decode to PNG
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from jpeg_gpu_tpu.engine.decoder import _BACKENDS, get_decoder
+from jpeg_gpu_tpu.engine.stages import OutputStage
+from jpeg_gpu_tpu.errors import JpegError
+from jpeg_gpu_tpu.utils import logging as log_util
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jpeg_gpu_tpu",
+        description="TPU-native baseline JPEG decoder",
+    )
+    p.add_argument("file", help="JPEG file to decode")
+    p.add_argument(
+        "-i", "--impl", default="tpu", choices=sorted(_BACKENDS),
+        help="decoder backend (default: tpu)",
+    )
+    p.add_argument(
+        "-o", "--out", default="rgb",
+        choices=[s.value for s in OutputStage],
+        help="pipeline output stage (default: rgb)",
+    )
+    p.add_argument(
+        "-e", "--entropy", default="auto",
+        choices=["auto", "native", "python", "device"],
+        help="entropy decoder: host C++ (native), host python, or on-TPU (device)",
+    )
+    p.add_argument("-H", "--header", action="store_true", help="print header and exit")
+    p.add_argument("-d", "--dump", action="store_true", help="dump decoded data")
+    p.add_argument(
+        "-b", "--bench", type=int, metavar="N", default=0,
+        help="benchmark: decode N times, report FPS + time split",
+    )
+    p.add_argument("--fast", action="store_true", help="float fast path (not bit-exact)")
+    p.add_argument("--no-validate", action="store_true", help="skip bitstream validation")
+    p.add_argument("--save", metavar="PNG", help="save RGB output as PNG")
+    return p
+
+
+def _dump(result, stage: OutputStage) -> None:
+    """Print decoded data for differential diffing (cf. jpeg_gpu.c:641-700)."""
+    if stage in (OutputStage.QUANT, OutputStage.DCT):
+        for ci, c in enumerate(result.coefs):
+            vb, hb = c.shape[:2]
+            print(f"plane {ci}: {hb}x{vb} blocks")
+            flat = c.transpose(0, 2, 1, 3).reshape(vb * 8, hb * 8)
+            for row in flat:
+                print(" ".join(str(int(v)) for v in row))
+    elif stage == OutputStage.PACK:
+        print(f"packed entries: {len(result.pack)}")
+        for ci, idx in enumerate(result.index):
+            vb, hb = idx.shape
+            print(f"plane {ci}: {hb}x{vb} blocks")
+            for row in idx:
+                print(" ".join(str(int(v)) for v in row))
+        print(" ".join(f"{int(v):04x}" for v in result.pack))
+    elif stage == OutputStage.YUV:
+        for ci, plane in enumerate(result.planes):
+            h, w = plane.shape
+            print(f"plane {ci}: {w}x{h}")
+            for row in plane:
+                print(" ".join(str(int(v)) for v in row))
+    else:
+        h, w = result.shape[:2]
+        print(f"rgb: {w}x{h}")
+        for row in result.reshape(h, w * 3):
+            print(" ".join(str(int(v)) for v in row))
+
+
+def main(argv=None) -> int:
+    log_util.init()
+    args = build_parser().parse_args(argv)
+    stage = OutputStage(args.out)
+    try:
+        with open(args.file, "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    kwargs = {"validate": not args.no_validate}
+    if args.impl in ("tpu",):
+        kwargs["exact"] = not args.fast
+        kwargs["entropy"] = args.entropy
+    elif args.impl in ("host", "xjpeg"):
+        kwargs["entropy"] = args.entropy
+    try:
+        dec = get_decoder(data, impl=args.impl, **kwargs)
+        header = dec.decode_header()
+        if args.header:
+            print(header.describe())
+            return 0
+
+        if args.bench:
+            # Repeated decode loop with host/total split (cf. the
+            # reference's title-bar metrics, jpeg_gpu.c:1444-1458).
+            dec.decode(stage)  # warm-up / compile
+            t0 = time.perf_counter()
+            host_s = 0.0
+            for _ in range(args.bench):
+                dec.reset()
+                t1 = time.perf_counter()
+                dec.decode_header()
+                dec._entropy() if args.entropy != "device" else None
+                host_s += time.perf_counter() - t1
+                dec.decode(stage)
+            total = time.perf_counter() - t0
+            mpix = header.width * header.height * args.bench / 1e6
+            print(
+                f"{args.bench / total:.1f} FPS "
+                f"(host {host_s / args.bench * 1e3:.3f} ms, "
+                f"total {total / args.bench * 1e3:.3f} ms/frame, "
+                f"{mpix / total:.1f} Mpix/s, impl={args.impl}, "
+                f"out={stage.value}, entropy={args.entropy})"
+            )
+            return 0
+
+        result = dec.decode(stage)
+        if args.dump:
+            _dump(result, stage)
+        elif stage == OutputStage.RGB:
+            h, w = result.shape[:2]
+            print(f"decoded {w}x{h} rgb ({args.impl}, {header.subsampling.value})")
+            if args.save:
+                from PIL import Image
+
+                Image.fromarray(np.asarray(result)).save(args.save)
+                print(f"saved {args.save}")
+        else:
+            print(f"decoded stage {stage.value} ({args.impl})")
+        return 0
+    except JpegError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

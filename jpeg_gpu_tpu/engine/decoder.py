@@ -196,9 +196,13 @@ class TpuDecoder(Decoder):
         validate: bool = True,
         entropy: str = "auto",
         exact: bool = True,
+        upload: str = "coefs",
     ):
         super().__init__(data, validate=validate, entropy=entropy)
         self.exact = exact
+        if upload not in ("coefs", "pack"):
+            raise ValueError(f"upload must be 'coefs' or 'pack', got {upload!r}")
+        self.upload = upload
 
     def decode(self, out: StageArg = OutputStage.RGB):
         from jpeg_gpu_tpu.engine import pipeline
@@ -216,12 +220,27 @@ class TpuDecoder(Decoder):
         if stage == OutputStage.PACK:
             return self._coef_stage(stage)
         hdr = self._parse().header
-        result = self._entropy()
         spec = pipeline.PipelineSpec.from_header(hdr, exact=self.exact)
-        coefs = tuple(np.ascontiguousarray(c) for c in result.coefs)
         qtables = tuple(
             hdr.quant_for(c).values.astype(np.int32) for c in hdr.components
         )
+        if self.upload == "pack":
+            # Minimal-upload path: ship the packed (run,value) stream and
+            # expand it to dense coefficients on device (pack_device.py).
+            from jpeg_gpu_tpu.engine.device_entropy import expand_pack_device
+
+            scan = self._entropy(want_pack=True)
+            coefs = expand_pack_device(self._parse(), scan)
+            if stage == OutputStage.QUANT:
+                return CoefOutput(coefs=[np.asarray(c) for c in coefs])
+            dev = pipeline.run(spec, stage, coefs, qtables)
+            if stage == OutputStage.DCT:
+                return CoefOutput(coefs=[np.asarray(c) for c in dev])
+            if stage == OutputStage.YUV:
+                return YuvOutput(planes=[np.asarray(p) for p in dev])
+            return np.asarray(dev)
+        result = self._entropy()
+        coefs = tuple(np.ascontiguousarray(c) for c in result.coefs)
         dev = pipeline.run(spec, stage, coefs, qtables)
         if stage in (OutputStage.QUANT, OutputStage.DCT):
             return CoefOutput(coefs=[np.asarray(c) for c in dev])

@@ -87,6 +87,40 @@ def _assemble(kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom
     return jax.jit(fn)(kernel_out)
 
 
+def expand_pack_device(
+    parsed: ParsedJpeg,
+    scan,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, ...]:
+    """PACK-upload path: ship (run,value) streams, expand to coefs on device.
+
+    ``scan`` is a host ScanResult with ``want_pack=True``.  Covers streams
+    without restart markers (the host did the Huffman work); minimises
+    host->device bytes like the reference's pack mode (jpeg_gpu.c:1287).
+    """
+    from jpeg_gpu_tpu.host.pack_plan import build_pack_plan
+    from jpeg_gpu_tpu.ops import pack_device
+
+    header = parsed.header
+    plan = build_pack_plan(parsed, scan)
+    kernel_out = pack_device.expand_pack_device(
+        jnp.asarray(plan.streams), plan.blocks_per_segment, interpret=interpret
+    )
+    comp_geometry = tuple(
+        (header.components[i].hsamp, header.components[i].vsamp)
+        for i in header.scan.comp_idx
+    )
+    return _assemble(
+        kernel_out,
+        plan.n_segments,
+        plan.mcus_per_segment,
+        header.n_mcus,
+        header.nhmb,
+        header.nvmb,
+        comp_geometry,
+    )
+
+
 def decode_image_device(
     parsed: ParsedJpeg,
     stage="rgb",
