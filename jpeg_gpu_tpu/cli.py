@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="benchmark: decode N times, report FPS + time split",
     )
     p.add_argument("--fast", action="store_true", help="float fast path (not bit-exact)")
+    p.add_argument(
+        "--fancy", action="store_true",
+        help="fancy (triangle) chroma upsampling: bit-exact vs libjpeg RGB",
+    )
+    p.add_argument(
+        "--upload", default="coefs", choices=["coefs", "pack"],
+        help="host->device payload for host-entropy modes (default: coefs)",
+    )
     p.add_argument("--no-validate", action="store_true", help="skip bitstream validation")
     p.add_argument("--save", metavar="PNG", help="save RGB output as PNG")
     return p
@@ -103,8 +111,11 @@ def main(argv=None) -> int:
     if args.impl in ("tpu",):
         kwargs["exact"] = not args.fast
         kwargs["entropy"] = args.entropy
+        kwargs["upload"] = args.upload
+        kwargs["upsample"] = "fancy" if args.fancy else "nearest"
     elif args.impl in ("host", "xjpeg"):
         kwargs["entropy"] = args.entropy
+        kwargs["upsample"] = "fancy" if args.fancy else "nearest"
     try:
         dec = get_decoder(data, impl=args.impl, **kwargs)
         header = dec.decode_header()

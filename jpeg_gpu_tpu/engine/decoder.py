@@ -143,6 +143,16 @@ class HostDecoder(Decoder):
 
     name = "host"
 
+    def __init__(
+        self,
+        data: bytes,
+        validate: bool = True,
+        entropy: str = "auto",
+        upsample: str = "nearest",
+    ):
+        super().__init__(data, validate=validate, entropy=entropy)
+        self.upsample = upsample
+
     def decode(self, out: StageArg = OutputStage.RGB):
         stage = _stage(out)
         if stage in (OutputStage.PACK, OutputStage.QUANT, OutputStage.DCT):
@@ -166,10 +176,18 @@ class HostDecoder(Decoder):
         if hdr.ncomps == 1:
             y = full_planes[0][:h, :w]
             return np.repeat(y[..., None], 3, axis=-1)
-        up = [
-            color_ops.upsample_nearest(p, c.xdec, c.ydec, xp=np)[:h, :w]
-            for p, c in zip(full_planes, hdr.components)
-        ]
+        if self.upsample == "fancy":
+            up = [
+                color_ops.upsample_fancy(
+                    p[: c.height, : c.width], c.xdec, c.ydec, xp=np
+                )[:h, :w]
+                for p, c in zip(full_planes, hdr.components)
+            ]
+        else:
+            up = [
+                color_ops.upsample_nearest(p, c.xdec, c.ydec, xp=np)[:h, :w]
+                for p, c in zip(full_planes, hdr.components)
+            ]
         return color_ops.ycbcr_to_rgb_exact(up[0], up[1], up[2], xp=np)
 
 
@@ -197,9 +215,11 @@ class TpuDecoder(Decoder):
         entropy: str = "auto",
         exact: bool = True,
         upload: str = "coefs",
+        upsample: str = "nearest",
     ):
         super().__init__(data, validate=validate, entropy=entropy)
         self.exact = exact
+        self.upsample = upsample
         if upload not in ("coefs", "pack"):
             raise ValueError(f"upload must be 'coefs' or 'pack', got {upload!r}")
         self.upload = upload
@@ -211,7 +231,10 @@ class TpuDecoder(Decoder):
         if self.entropy == "device" and stage != OutputStage.PACK:
             from jpeg_gpu_tpu.engine.device_entropy import decode_image_device
 
-            dev = decode_image_device(self._parse(), stage=stage, exact=self.exact)
+            dev = decode_image_device(
+                self._parse(), stage=stage, exact=self.exact,
+                upsample=self.upsample,
+            )
             if stage in (OutputStage.QUANT, OutputStage.DCT):
                 return CoefOutput(coefs=[np.asarray(c) for c in dev])
             if stage == OutputStage.YUV:
@@ -220,7 +243,9 @@ class TpuDecoder(Decoder):
         if stage == OutputStage.PACK:
             return self._coef_stage(stage)
         hdr = self._parse().header
-        spec = pipeline.PipelineSpec.from_header(hdr, exact=self.exact)
+        spec = pipeline.PipelineSpec.from_header(
+            hdr, exact=self.exact, upsample=self.upsample
+        )
         qtables = tuple(
             hdr.quant_for(c).values.astype(np.int32) for c in hdr.components
         )

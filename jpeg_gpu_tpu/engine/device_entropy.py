@@ -125,6 +125,7 @@ def decode_image_device(
     parsed: ParsedJpeg,
     stage="rgb",
     exact: bool = True,
+    upsample: str = "nearest",
     interpret: Optional[bool] = None,
 ):
     """Fully on-device decode: entropy bits in HBM -> pixels in HBM.
@@ -139,7 +140,7 @@ def decode_image_device(
 
     header = parsed.header
     result = entropy_decode_device(parsed, interpret=interpret)
-    spec = pipeline.PipelineSpec.from_header(header, exact=exact)
+    spec = pipeline.PipelineSpec.from_header(header, exact=exact, upsample=upsample)
     qtables = tuple(
         header.quant_for(c).values.astype(np.int32) for c in header.components
     )

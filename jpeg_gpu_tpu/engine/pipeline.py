@@ -37,10 +37,17 @@ class PipelineSpec:
     comp_decs: Tuple[Tuple[int, int], ...]   # per comp (xdec, ydec)
     exact: bool = True                        # islow+int color vs float fast path
     use_pallas: bool = True                   # fused Pallas kernel on the fast path
+    upsample: str = "nearest"                 # "nearest" (reference semantics,
+    #   do_fancy_upsampling=FALSE) or "fancy" (libjpeg default, bit-exact
+    #   vs libjpeg-turbo RGB for every supported subsampling)
 
     @classmethod
     def from_header(
-        cls, header: JpegHeader, exact: bool = True, use_pallas: bool = True
+        cls,
+        header: JpegHeader,
+        exact: bool = True,
+        use_pallas: bool = True,
+        upsample: str = "nearest",
     ) -> "PipelineSpec":
         return cls(
             width=header.width,
@@ -49,6 +56,7 @@ class PipelineSpec:
             comp_decs=tuple((c.xdec, c.ydec) for c in header.components),
             exact=exact,
             use_pallas=use_pallas,
+            upsample=upsample,
         )
 
     @property
@@ -100,7 +108,14 @@ def decode_rgb(spec: PipelineSpec, coefs, qtables):
     up = []
     for ci, p in enumerate(planes):
         xdec, ydec = spec.comp_decs[ci]
-        up.append(color_ops.upsample_nearest(p, xdec, ydec)[..., :h, :w])
+        if spec.upsample == "fancy":
+            # Fancy filters read true-size planes (edge handling at the
+            # real image boundary, not the MCU padding).
+            cw, ch = spec.comp_sizes[ci]
+            p = color_ops.upsample_fancy(p[..., :ch, :cw], xdec, ydec)
+        else:
+            p = color_ops.upsample_nearest(p, xdec, ydec)
+        up.append(p[..., :h, :w])
     y, cb, cr = up
     if spec.exact:
         return color_ops.ycbcr_to_rgb_exact(y, cb, cr)

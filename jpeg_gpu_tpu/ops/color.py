@@ -37,6 +37,88 @@ def upsample_nearest(plane: jax.Array, xdec: int, ydec: int, xp=jnp) -> jax.Arra
     return plane
 
 
+def _edge_pad(plane, axis, xp):
+    """Pad one sample on both sides of ``axis`` by edge replication."""
+    pad = [(0, 0)] * plane.ndim
+    pad[axis] = (1, 1)
+    if xp is jnp:
+        return jnp.pad(plane, pad, mode="edge")
+    import numpy as np
+
+    return np.pad(plane, pad, mode="edge")
+
+
+def upsample_fancy_h2(plane: jax.Array, axis: int, xp=jnp) -> jax.Array:
+    """Triangle-filter 2x upsample along ``axis`` (libjpeg 'fancy' mode).
+
+    Bit-exact reimplementation of the classic centered 1/4-3/4 filter:
+    nearer-neighbor weight 3, farther weight 1; the two output phases use
+    rounding constants 1 and 2 so the pair sums preserve energy; edge
+    samples replicate.  Works on u8 sample planes (int arithmetic).
+    """
+    x = plane.astype(xp.int32)
+    padded = _edge_pad(x, axis, xp)
+    n = x.shape[axis]
+
+    def take(arr, lo, hi):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(lo, hi)
+        return arr[tuple(idx)]
+
+    left = take(padded, 0, n)       # s[i-1] (edge-replicated)
+    right = take(padded, 2, n + 2)  # s[i+1]
+    even = (3 * x + left + 1) >> 2
+    odd = (3 * x + right + 2) >> 2
+    out = xp.stack([even, odd], axis=axis + 1 if axis >= 0 else plane.ndim + axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape).astype(plane.dtype)
+
+
+def upsample_fancy_h2v2(plane: jax.Array, xp=jnp) -> jax.Array:
+    """Fancy 2x2 upsample (4:2:0): vertical triangle pass into 10-bit sums,
+    then horizontal triangle pass with 16-way rounding -- the exact
+    fixed-point structure of the standard two-pass implementation."""
+    x = plane.astype(xp.int32)
+    h, w = x.shape[-2], x.shape[-1]
+    padded = _edge_pad(x, -2, xp)
+
+    def rows(lo, hi):
+        return padded[..., lo:hi, :]
+
+    above = rows(0, h)
+    below = rows(2, h + 2)
+    # Column sums for the two output row phases: nearer row x3 + farther.
+    sum_even = 3 * x + above   # output rows 2r
+    sum_odd = 3 * x + below    # output rows 2r + 1
+    colsum = xp.stack([sum_even, sum_odd], axis=-2)
+    colsum = colsum.reshape(x.shape[:-2] + (2 * h, w))
+
+    cpad = _edge_pad(colsum, -1, xp)
+    left = cpad[..., :, 0:w]
+    right = cpad[..., :, 2 : w + 2]
+    even = (3 * colsum + left + 8) >> 4
+    odd = (3 * colsum + right + 7) >> 4
+    # Edge columns: (colsum * 4 + 8|7) >> 4 -- equivalent to the general
+    # form with the edge-replicated neighbor, so no special casing needed.
+    out = xp.stack([even, odd], axis=-1)
+    return out.reshape(x.shape[:-2] + (2 * h, 2 * w)).astype(plane.dtype)
+
+
+def upsample_fancy(plane: jax.Array, xdec: int, ydec: int, xp=jnp) -> jax.Array:
+    """Dispatch fancy upsampling by decimation; falls back to replication
+    for factors the fancy filters do not define (e.g. 4:1:1)."""
+    if (xdec, ydec) == (0, 0):
+        return plane
+    if (xdec, ydec) == (1, 1):
+        return upsample_fancy_h2v2(plane, xp=xp)
+    if (xdec, ydec) == (1, 0):
+        return upsample_fancy_h2(plane, axis=plane.ndim - 1, xp=xp)
+    if (xdec, ydec) == (0, 1):
+        return upsample_fancy_h2(plane, axis=plane.ndim - 2, xp=xp)
+    return upsample_nearest(plane, xdec, ydec, xp=xp)
+
+
 def ycbcr_to_rgb_exact(
     y: jax.Array, cb: jax.Array, cr: jax.Array, xp=jnp
 ) -> jax.Array:

@@ -70,7 +70,11 @@ def decode_batch_sharded(
     (psum over all shards).
     """
     coef_specs = tuple(P(DATA_AXIS, SPACE_AXIS) for _ in coefs)
-    q_specs = tuple(P() for _ in qtables)
+    # Per-image quant tables (N, 1, 1, 8, 8) shard with the batch; shared
+    # (8, 8) tables replicate.
+    q_specs = tuple(
+        P(DATA_AXIS) if q.ndim == 5 else P() for q in qtables
+    )
 
     def step(coefs, qtables):
         rgb = _local_decode_rgb(spec, coefs, qtables)

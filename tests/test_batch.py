@@ -1,0 +1,46 @@
+"""Batched corpus decode: bucketing, per-image quant tables, mesh sharding."""
+
+import numpy as np
+
+from jpeg_gpu_tpu import decode
+from jpeg_gpu_tpu.engine.batch import decode_batch
+from jpeg_gpu_tpu.parallel.mesh import make_mesh
+from jpeg_gpu_tpu.testing import corpus
+
+
+def _corpus():
+    datas = []
+    # Two geometry buckets x different quality (= different quant tables).
+    for q in (70, 85, 95):
+        img = corpus.synthetic_rgb(64, 64, seed=q)
+        datas.append(corpus.pil_jpeg(img, quality=q, subsampling="4:2:0"))
+    for q in (60, 90):
+        img = corpus.synthetic_gray(48, 32, seed=q)
+        datas.append(corpus.pil_jpeg(img, quality=q))
+    return datas
+
+
+def test_batch_matches_single_decode():
+    datas = _corpus()
+    outs = decode_batch(datas)
+    assert len(outs) == len(datas)
+    for data, got in zip(datas, outs):
+        ref = decode(data, out="rgb", impl="tpu")
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_sharded_on_mesh():
+    datas = _corpus()
+    mesh = make_mesh(8, space=2)
+    outs = decode_batch(datas, mesh=mesh)
+    for data, got in zip(datas, outs):
+        ref = decode(data, out="rgb", impl="tpu")
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_sharded_data_only_mesh():
+    datas = _corpus()[:3]
+    mesh = make_mesh(8, space=1)
+    outs = decode_batch(datas, mesh=mesh)
+    for data, got in zip(datas, outs):
+        np.testing.assert_array_equal(got, decode(data, out="rgb", impl="tpu"))
