@@ -53,6 +53,7 @@ def decode_batch(
     datas: Sequence[bytes],
     exact: bool = True,
     mesh=None,
+    upsample: str = "nearest",
 ) -> List[np.ndarray]:
     """Decode a corpus of JPEGs to RGB, batching same-geometry images.
 
@@ -63,7 +64,7 @@ def decode_batch(
     buckets: Dict[Tuple, _Bucket] = {}
     for i, data in enumerate(datas):
         parsed = parse(data)
-        spec = PipelineSpec.from_header(parsed.header, exact=exact)
+        spec = PipelineSpec.from_header(parsed.header, exact=exact, upsample=upsample)
         result = _entropy_decode(parsed)
         hdr = parsed.header
         qts = [

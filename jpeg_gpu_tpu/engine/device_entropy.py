@@ -121,6 +121,69 @@ def expand_pack_device(
     )
 
 
+def decode_image_device_sharded(
+    parsed: ParsedJpeg,
+    mesh,
+    exact: bool = True,
+    upsample: str = "nearest",
+    check_errors: bool = True,
+) -> np.ndarray:
+    """Distributed fully-on-device decode of one image.
+
+    Restart-segment batches shard over the mesh's data axis, coefficients
+    are all_gathered over ICI, and the pixel pipeline splits MCU rows over
+    the space axis (parallel/shard.py:decode_image_device_sharded).
+    Returns the cropped RGB array.
+    """
+    from jpeg_gpu_tpu.engine import pipeline
+    from jpeg_gpu_tpu.parallel.mesh import DATA_AXIS
+    from jpeg_gpu_tpu.parallel.shard import (
+        decode_image_device_sharded as _sharded,
+    )
+
+    header = parsed.header
+    plan = build_plan(parsed)
+    data_size = mesh.shape[DATA_AXIS]
+    streams = plan.streams
+    pad = (-streams.shape[0]) % data_size
+    if pad:  # dummy batches decode 1-padding garbage; flagged + ignored
+        filler = np.full(
+            (pad,) + streams.shape[1:], -1, dtype=streams.dtype
+        )
+        streams = np.concatenate([streams, filler])
+    plan_tables = tuple(
+        jnp.asarray(x)
+        for x in (
+            plan.comp_of_step, plan.dc_slot_of_step, plan.ac_slot_of_step,
+            plan.maxcode, plan.delta, plan.symbols,
+        )
+    )
+    geom = tuple(
+        (header.components[i].hsamp, header.components[i].vsamp)
+        for i in header.scan.comp_idx
+    )
+    spec = pipeline.PipelineSpec.from_header(header, exact=exact, upsample=upsample)
+    assemble_args = (
+        plan.n_segments, plan.mcus_per_segment, header.n_mcus,
+        header.nhmb, header.nvmb, geom,
+    )
+    qtables = tuple(
+        jnp.asarray(header.quant_for(c).values.astype(np.int32))
+        for c in header.components
+    )
+    rgb, err = _sharded(
+        spec, mesh, assemble_args, jnp.asarray(streams), plan_tables, qtables
+    )
+    if check_errors:
+        flags = np.asarray(err).reshape(-1)[: max(plan.n_segments - 1, 0)]
+        if flags.any():
+            bad = int(np.flatnonzero(flags)[0])
+            raise JpegFormatError(
+                f"device entropy decode failed in restart segment {bad}"
+            )
+    return np.asarray(rgb)[: header.height, : header.width]
+
+
 def decode_image_device(
     parsed: ParsedJpeg,
     stage="rgb",

@@ -33,6 +33,104 @@ from jpeg_gpu_tpu.ops import idct_islow
 from jpeg_gpu_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
 
+def _clamp_true_rows(plane, true_h: int, axis_name: str):
+    """Replicate the last true sample row into the MCU padding rows.
+
+    Fancy filters read neighbor rows, so the padding garbage below the true
+    component height must be replaced by edge replication *before* halos are
+    exchanged.  The clamp row always lives in the same shard as the padding
+    (padding < one MCU row <= shard rows).
+    """
+    r = plane.shape[-2]
+    base = jax.lax.axis_index(axis_name) * r
+    iota = jnp.arange(r)
+    local_limit = jnp.clip(true_h - 1 - base, 0, r - 1)
+    idx = jnp.minimum(iota, local_limit)
+    # Shards entirely above the boundary keep identity indices.
+    idx = jnp.where(base + iota <= true_h - 1, iota, idx)
+    return jnp.take(plane, idx, axis=-2)
+
+
+def _fancy_v_halo(plane, axis_name: str):
+    """Vertical triangle column sums with a one-row ICI halo exchange.
+
+    Returns the interleaved (.., 2r, w) 10-bit column sums (3*this + other)
+    of the fancy h2v2/h1v2 vertical pass; the row above the shard's first
+    row and below its last row arrive from the neighbor shards via
+    ppermute -- the block-boundary exchange of BASELINE.json config #5.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    x = plane.astype(jnp.int32)
+    if n == 1:
+        above = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+        below = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    else:
+        from_above = jax.lax.ppermute(
+            x[..., -1:, :], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            x[..., :1, :], axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        top = jnp.where(idx == 0, x[..., :1, :], from_above)
+        bot = jnp.where(idx == n - 1, x[..., -1:, :], from_below)
+        above = jnp.concatenate([top, x[..., :-1, :]], axis=-2)
+        below = jnp.concatenate([x[..., 1:, :], bot], axis=-2)
+    sum_even = 3 * x + above
+    sum_odd = 3 * x + below
+    r, w = x.shape[-2], x.shape[-1]
+    out = jnp.stack([sum_even, sum_odd], axis=-2)
+    return out.reshape(x.shape[:-2] + (2 * r, w))
+
+
+def _fancy_h_from_colsums(colsum, true_w: int):
+    """Horizontal pass of the fancy filter on 10-bit column sums."""
+    w = colsum.shape[-1]
+    iota = jnp.arange(w)
+    idx = jnp.minimum(iota, true_w - 1)
+    cs = jnp.take(colsum, idx, axis=-1)  # replicate past the true width
+    left = jnp.concatenate([cs[..., :1], cs[..., :-1]], axis=-1)
+    right = jnp.concatenate([cs[..., 1:], cs[..., -1:]], axis=-1)
+    even = (3 * cs + left + 8) >> 4
+    odd = (3 * cs + right + 7) >> 4
+    out = jnp.stack([even, odd], axis=-1)
+    return out.reshape(cs.shape[:-1] + (2 * w,)).astype(jnp.uint8)
+
+
+def _fancy_h1v2_from_colsums(colsum, true_w: int):
+    """4:4:0 vertical-only fancy: finish the (3*this + other + 1|2)>>2."""
+    iota = jnp.arange(colsum.shape[-1])
+    idx = jnp.minimum(iota, true_w - 1)
+    cs = jnp.take(colsum, idx, axis=-1)
+    # Even output rows used rounding 1, odd rows rounding 2 (interleaved
+    # by _fancy_v_halo): rebuild the per-row constant.
+    r2 = cs.shape[-2]
+    rounding = jnp.where(jnp.arange(r2)[:, None] % 2 == 0, 1, 2)
+    return ((cs + rounding) >> 2).astype(jnp.uint8)
+
+
+def _upsample_sharded(plane, spec: PipelineSpec, ci: int, axis_name: str):
+    """Per-shard chroma upsample matching engine/pipeline.py semantics."""
+    from jpeg_gpu_tpu.ops.color import upsample_fancy_h2
+
+    xdec, ydec = spec.comp_decs[ci]
+    if spec.upsample != "fancy" or (xdec, ydec) == (0, 0):
+        return color_ops.upsample_nearest(plane, xdec, ydec)
+    cw, ch = spec.comp_sizes[ci]
+    plane = _clamp_true_rows(plane, ch, axis_name)
+    if (xdec, ydec) == (1, 1):
+        colsum = _fancy_v_halo(plane, axis_name)
+        return _fancy_h_from_colsums(colsum, cw)
+    if (xdec, ydec) == (0, 1):
+        colsum = _fancy_v_halo(plane, axis_name)
+        return _fancy_h1v2_from_colsums(colsum, cw)
+    if (xdec, ydec) == (1, 0):
+        iota = jnp.arange(plane.shape[-1])
+        p = jnp.take(plane, jnp.minimum(iota, cw - 1), axis=-1)
+        return upsample_fancy_h2(p, axis=p.ndim - 1)
+    return color_ops.upsample_nearest(plane, xdec, ydec)  # 4:1:1 replicates
+
+
 def _local_decode_rgb(spec: PipelineSpec, coefs, qtables):
     """Decode this shard's (batch_shard, row_shard) slab to RGB samples.
 
@@ -47,8 +145,7 @@ def _local_decode_rgb(spec: PipelineSpec, coefs, qtables):
         else:
             pix = idct_ops.dequant_idct_pixels(coefs[ci], qtables[ci])
         plane = idct_ops.blocks_to_plane(pix)
-        xdec, ydec = spec.comp_decs[ci]
-        planes.append(color_ops.upsample_nearest(plane, xdec, ydec))
+        planes.append(_upsample_sharded(plane, spec, ci, SPACE_AXIS))
     if spec.ncomps == 1:
         y = planes[0]
         return jnp.broadcast_to(y[..., None], y.shape + (3,))
@@ -90,3 +187,57 @@ def decode_batch_sharded(
         in_specs=(coef_specs, q_specs),
         out_specs=(P(DATA_AXIS, SPACE_AXIS), P()),
     )(coefs, qtables)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def decode_image_device_sharded(
+    spec: PipelineSpec,
+    mesh: Mesh,
+    assemble_args: Tuple,   # (n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom)
+    streams: jax.Array,     # (B, NW, 8, 128) int32, B divisible by data axis
+    plan_tables: Tuple[jax.Array, ...],  # comp/dc/ac maps, maxcode, delta, symbols
+    qtables: Tuple[jax.Array, ...],
+):
+    """One image, fully on-device, distributed: restart-segment batches
+    shard over the ``data`` axis (each chip Huffman-decodes its share),
+    coefficients are exchanged over ICI (all_gather), and the pixel
+    pipeline splits MCU block rows over the ``space`` axis.
+
+    This is the BASELINE.json config #5 shape: segments + block
+    boundaries over ICI. Returns (rgb, err): rgb (padH, padW, 3) sharded
+    on rows over space; err (B, 8, 128) segment flags.
+    """
+    from jpeg_gpu_tpu.ops import entropy_device
+
+    n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom = assemble_args
+    space = mesh.shape[SPACE_AXIS]
+
+    def step(streams, plan_tables, qtables):
+        out, err = entropy_device.decode_segments_device(
+            streams, *plan_tables
+        )
+        # Exchange coefficient slabs across the data axis over ICI.
+        out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)
+        err = jax.lax.all_gather(err, DATA_AXIS, axis=0, tiled=True)
+        comps = entropy_device.assemble_components(
+            out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom
+        )
+        # Spatial split: this chip's MCU block-row slice of every plane.
+        sidx = jax.lax.axis_index(SPACE_AXIS)
+        local = []
+        for ci, c in enumerate(comps):
+            vb = c.shape[0]
+            rows = vb // space
+            local.append(
+                jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=0)
+            )
+        rgb = _local_decode_rgb(spec, tuple(local), qtables)
+        return rgb, err
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P()),
+        out_specs=(P(SPACE_AXIS), P(DATA_AXIS)),
+        check_rep=False,
+    )(streams, plan_tables, qtables)

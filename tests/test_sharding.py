@@ -63,6 +63,36 @@ def test_sharded_mono():
     )
 
 
+@pytest.mark.parametrize("space", [2, 4])
+@pytest.mark.parametrize("mode", ["4:2:0", "4:2:2", "4:4:0"])
+def test_sharded_fancy_halo_matches_single_device(space, mode):
+    """Fancy upsampling across shards: the 1-row ppermute halo exchange
+    must reproduce the unsharded filter bit-for-bit (incl. odd heights)."""
+    h, w = 125, 67  # odd dims: true-size clamps cross the padding
+    img = corpus.synthetic_rgb(h, w, seed=21)
+    enc = corpus.own_jpeg(img, subsampling=mode, quality=85)
+    parsed = parse(enc.data)
+    hdr = parsed.header
+    # The luma block rows must divide the space axis.
+    if hdr.components[0].vblocks % space:
+        pytest.skip("geometry does not divide this space axis")
+    result = decode_scan(parsed)
+    coefs = tuple(
+        jnp.asarray(np.broadcast_to(c, (8 // space,) + c.shape).copy())
+        for c in result.coefs
+    )
+    qts = tuple(
+        jnp.asarray(hdr.quant_for(c).values.astype(np.int32))
+        for c in hdr.components
+    )
+    spec = PipelineSpec.from_header(hdr, exact=True, upsample="fancy")
+    mesh = make_mesh(8, space=space)
+    rgb, _ = decode_batch_sharded(spec, mesh, coefs, qts)
+    ref = decode(enc.data, out="rgb", impl="tpu", upsample="fancy")
+    got = np.asarray(rgb)[0][:h, :w]
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
