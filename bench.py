@@ -108,13 +108,7 @@ def main() -> None:
 
     plan = seg_mod.build_plan(parsed_dri)
     streams = jnp.asarray(plan.streams)
-    plan_rest = tuple(
-        jnp.asarray(x)
-        for x in (
-            plan.comp_of_step, plan.dc_slot_of_step, plan.ac_slot_of_step,
-            plan.maxcode, plan.delta, plan.symbols,
-        )
-    )
+    plan_rest = tuple(jnp.asarray(x) for x in plan.kernel_tables)
     geom = tuple((c.hsamp, c.vsamp) for c in hdr.components)
 
     def make_full(iters):

@@ -31,6 +31,7 @@ def entropy_decode_device(
     parsed: ParsedJpeg,
     interpret: Optional[bool] = None,
     check_errors: bool = True,
+    unroll: Optional[bool] = None,
 ) -> DeviceEntropyResult:
     """Decode the scan's restart segments on the TPU."""
     header = parsed.header
@@ -41,13 +42,9 @@ def entropy_decode_device(
     )
     kernel_out, err = entropy_device.decode_segments_device(
         jnp.asarray(plan.streams),
-        jnp.asarray(plan.comp_of_step),
-        jnp.asarray(plan.dc_slot_of_step),
-        jnp.asarray(plan.ac_slot_of_step),
-        jnp.asarray(plan.maxcode),
-        jnp.asarray(plan.delta),
-        jnp.asarray(plan.symbols),
+        *(jnp.asarray(x) for x in plan.kernel_tables),
         interpret=interpret,
+        unroll=unroll,
     )
     coefs = _assemble(
         kernel_out,
@@ -151,13 +148,7 @@ def decode_image_device_sharded(
             (pad,) + streams.shape[1:], -1, dtype=streams.dtype
         )
         streams = np.concatenate([streams, filler])
-    plan_tables = tuple(
-        jnp.asarray(x)
-        for x in (
-            plan.comp_of_step, plan.dc_slot_of_step, plan.ac_slot_of_step,
-            plan.maxcode, plan.delta, plan.symbols,
-        )
-    )
+    plan_tables = tuple(jnp.asarray(x) for x in plan.kernel_tables)
     geom = tuple(
         (header.components[i].hsamp, header.components[i].vsamp)
         for i in header.scan.comp_idx

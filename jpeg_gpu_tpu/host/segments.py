@@ -8,7 +8,8 @@ lockstep -- one segment per (sublane, lane) position.  The host's only jobs
   words, 1-padded at the tail (the bit reader contract, spec F.2.2.5),
 * lay the words out as (batches, NW, 8, 128): word w of segment
   (b*1024 + s*128 + l) at [b, w, s, l],
-* flatten Huffman tables into the kernel's maxcode/delta/symbol tensors.
+* flatten Huffman tables into the kernel's thresh/cbase/counts/symbol
+  tensors (per-length threshold form -- see DeviceScanPlan).
 
 This is the division of labour SURVEY.md section 7 prescribes: "byte
 destuffing and marker scanning are best done host-side"; everything
@@ -46,32 +47,79 @@ class DeviceScanPlan:
     comp_of_step: np.ndarray   # (T,) int32 frame-component index
     dc_slot_of_step: np.ndarray  # (T,) int32 -> row into table tensors
     ac_slot_of_step: np.ndarray  # (T,) int32
-    # Huffman decode tensors, one row per distinct table slot (<= 8):
-    maxcode: np.ndarray        # (n_tables, 16) int32 (-1 for empty lengths)
-    delta: np.ndarray          # (n_tables, 16) int32 (valptr - mincode)
-    symbols: np.ndarray        # (n_tables, 2, 8, 128) int32 (256 syms split
-    #                            into 2 lane-tiles, replicated over sublanes)
+    # Huffman decode tensors, one row per distinct table slot (<= 8).
+    # The kernel computes code length and symbol rank as two *independent*
+    # per-length sums (no select chain -- the canonical-code rank identity:
+    # rank(window) = sum_L clamp(topL(window) - mincode[L] + 1, 0, count[L])),
+    # so the tables are per-length thresholds rather than maxcode/valptr:
+    thresh: np.ndarray         # (n_tables, 16) int32: first code value of
+    #                            length > L, scaled to 32 bits and biased by
+    #                            ^0x80000000 for signed compare
+    cbase: np.ndarray          # (n_tables, 16) int32: mincode[L] - 1
+    counts: np.ndarray         # (n_tables, 16) int32: codes of length L
+    symbols: np.ndarray        # (n_tables, 8, 128) int32: 256 8-bit symbols
+    #                            packed 4 per word (sym k at byte k%4 of lane
+    #                            k//4), replicated over sublanes -- one
+    #                            lane-shuffle gather + byte extract decodes
+
+    @property
+    def kernel_tables(self) -> Tuple[np.ndarray, ...]:
+        """Args for decode_segments_device after the streams tensor."""
+        return (
+            self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
+            self.thresh, self.cbase, self.counts, self.symbols,
+        )
 
 
-def _decode_tables(spec: HuffmanSpec) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """maxcode/delta/symbol tensors for canonical decode (spec F.2.2.3)."""
+def _decode_tables(
+    spec: HuffmanSpec,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """thresh/cbase/counts/symbol tensors for canonical decode.
+
+    The kernel evaluates the spec's F.2.2.3 DECODE as two independent
+    per-length sums (see ops/entropy_device.py):
+
+      len(window)  = 1 + #{L : window32 >= thresh[L]}
+      rank(window) = sum_L clamp(topL(window) - (mincode[L]-1), 0, count[L])
+
+    where thresh[L] is the first *unassigned* code at length L scaled to
+    the top of a 32-bit word.  Unsigned compares are done as signed ones
+    by XOR-biasing both sides with 0x80000000 (done here for thresh, in
+    the kernel for the window).  A complete code space at length L scales
+    to 2^32; it is clamped to 0xFFFFFFFF, which misclassifies only the
+    all-ones window -- an all-1-bits code, which T.81 Annex C forbids (the
+    BITS construction reserves it), so it decodes as an error flag.
+    """
     counts = spec.counts.astype(np.int64)
-    maxcode = np.full(16, -1, dtype=np.int32)
-    delta = np.zeros(16, dtype=np.int32)
+    thresh = np.zeros(16, dtype=np.int32)
+    cbase = np.zeros(16, dtype=np.int32)
+    cnt = counts.astype(np.int32)
     code = 0
-    k = 0
     for length in range(1, 17):
         n = int(counts[length - 1])
-        if n:
-            # valptr = k, mincode = code
-            delta[length - 1] = k - code
-            maxcode[length - 1] = code + n - 1
-        code = (code + n) << 1
-        k += n
-    syms = np.zeros(256, dtype=np.int32)
+        cbase[length - 1] = code - 1
+        code += n
+        unassigned_scaled = min(code << (32 - length), 0xFFFFFFFF)
+        thresh[length - 1] = np.int32(
+            np.uint32(unassigned_scaled) ^ np.uint32(0x80000000)
+        )
+        code <<= 1
+    syms = np.zeros(256, dtype=np.uint32)
     syms[: len(spec.symbols)] = spec.symbols
-    tiled = np.broadcast_to(syms.reshape(2, 1, LANES), (2, SUBLANES, LANES))
-    return maxcode, delta, np.ascontiguousarray(tiled)
+    # Pack 4 symbols per 32-bit word: symbol k lives at byte k%4 of lane
+    # k//4 (lanes 64..127 unused).  One gather + variable shift extracts.
+    packed = np.zeros(LANES, dtype=np.uint32)
+    grouped = syms.reshape(64, 4)
+    packed[:64] = (
+        grouped[:, 0]
+        | (grouped[:, 1] << 8)
+        | (grouped[:, 2] << 16)
+        | (grouped[:, 3] << 24)
+    )
+    tiled = np.broadcast_to(
+        packed.astype(np.int32).reshape(1, LANES), (SUBLANES, LANES)
+    )
+    return thresh, cbase, cnt, np.ascontiguousarray(tiled)
 
 
 def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
@@ -123,17 +171,20 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
             dc_steps.append(dc)
             ac_steps.append(ac + 4)  # AC tables in slots 4..7
 
-    # Table tensors: slots 0..3 DC, 4..7 AC.
+    # Table tensors: slots 0..3 DC, 4..7 AC.  Unused slots keep thresh at
+    # INT32_MIN (every window counts every length -> ln = 17 -> flagged).
     n_tables = 8
-    maxcode = np.full((n_tables, 16), -1, dtype=np.int32)
-    delta = np.zeros((n_tables, 16), dtype=np.int32)
-    symbols = np.zeros((n_tables, 2, SUBLANES, LANES), dtype=np.int32)
+    thresh = np.full((n_tables, 16), np.iinfo(np.int32).min, dtype=np.int32)
+    cbase = np.zeros((n_tables, 16), dtype=np.int32)
+    counts = np.zeros((n_tables, 16), dtype=np.int32)
+    symbols = np.zeros((n_tables, SUBLANES, LANES), dtype=np.int32)
     for slot, spec in enumerate(list(header.dc_tables) + list(header.ac_tables)):
         if spec is None:
             continue
-        m, d, s_ = _decode_tables(spec)
-        maxcode[slot] = m
-        delta[slot] = d
+        t_, b_, c_, s_ = _decode_tables(spec)
+        thresh[slot] = t_
+        cbase[slot] = b_
+        counts[slot] = c_
         symbols[slot] = s_
 
     return DeviceScanPlan(
@@ -145,7 +196,8 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         comp_of_step=np.asarray(comp_steps, dtype=np.int32),
         dc_slot_of_step=np.asarray(dc_steps, dtype=np.int32),
         ac_slot_of_step=np.asarray(ac_steps, dtype=np.int32),
-        maxcode=maxcode,
-        delta=delta,
+        thresh=thresh,
+        cbase=cbase,
+        counts=counts,
         symbols=symbols,
     )

@@ -21,25 +21,29 @@ gather):
   iteration for every still-active lane; lanes that hit EOB idle until
   the slowest lane finishes (utilization cost ~2-4x; revisit with
   symbol-lockstep + expansion kernel).
-* **Canonical-code compare-scan** instead of a 64K LUT: 16 unrolled
-  compares against scalar maxcode[], then one 256-entry symbol gather
-  (two (8,128) lane-shuffle gathers + select).
+* **Canonical-code rank decode** instead of a 64K LUT: code length and
+  symbol index are two independent 16-term sums over scalar per-length
+  tables (no select chain -- see decode_symbol), then one 256-entry
+  symbol gather (symbols packed 4-per-word: a single (8,128)
+  lane-shuffle gather plus a per-lane byte extract).
 * **64-bit bit window per lane** in two int32 registers, MSB-aligned;
   all shifts are per-lane variable shifts (VPU-native).  Refill fetches
   one 32-bit word per lane via a masked scan over the word axis (the
   only way to express a per-lane row gather today); the stream layout
   (NW, 8, 128) is produced host-side (host/segments.py).
 * **No scatter anywhere**: coefficients accumulate into a (64, 8, 128)
-  zigzag-indexed register block via a broadcast one-hot compare, and the
+  register block via a broadcast one-hot compare (row targets carry the
+  de-zig-zag permutation, so output is natural-order for free), and the
   completed block is written densely at its grid step.
 
-Output: (B, T, 64, 8, 128) int16 -- zigzag-ordered coefficients of block
+Output: (B, T, 64, 8, 128) int16 -- natural-order coefficients of block
 step t of segment (b*1024 + s*128 + l) -- plus per-segment error flags.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -47,6 +51,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from jpeg_gpu_tpu.ops.zigzag import DEZIGZAG
 
 LANES = 128
 SUBLANES = 8
@@ -56,6 +62,14 @@ ERR_BAD_CODE = 1
 ERR_OVERRUN = 2
 
 _MAX_CONSUME = 31  # code (<=16) + amplitude (<=15) bits per symbol
+
+# Trace-time ablation switches for kernel profiling (scripts/ablate_*.py):
+# comma-separated tokens in JPEG_TPU_ENTROPY_ABLATE disable parts of the
+# kernel to attribute time.  Decode output is garbage under ablation; the
+# flag exists ONLY for performance archaeology and is never set in tests.
+_ABLATE = frozenset(
+    t for t in os.environ.get("JPEG_TPU_ENTROPY_ABLATE", "").split(",") if t
+)
 
 
 def _lsr(x, n):
@@ -79,15 +93,18 @@ def _gather_lanes(tile, idx):
 
 
 def _entropy_kernel(
+    # bound statically via functools.partial:
+    unroll,          # bool: unrolled AC loop (compiled) vs fori (interpret)
     # scalar prefetch (SMEM):
     comp_map_ref,    # (T,) int32: frame component of block step t
     dcslot_ref,      # (T,) int32: DC table slot (0..3)
     acslot_ref,      # (T,) int32: AC table slot (4..7)
-    maxcode_ref,     # (8, 16) int32
-    delta_ref,       # (8, 16) int32 (valptr - mincode per length)
+    thresh_ref,      # (8, 16) int32: scaled+biased first-unassigned code
+    cbase_ref,       # (8, 16) int32: mincode - 1 per length
+    counts_ref,      # (8, 16) int32: codes per length
     # tensor inputs (VMEM):
     stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
-    symbols_ref,     # (8, 2, 8, 128) int32: symbol tables
+    symbols_ref,     # (8, 8, 128) int32: symbol tables, 4 syms/word
     # outputs:
     out_ref,         # (1, 1, 64, 8, 128) int16: this block step's coefs
     err_ref,         # (1, 8, 128) int32: per-segment error flags
@@ -114,6 +131,8 @@ def _entropy_kernel(
         Mosaic can express today.  Statically unrolled for small streams
         (no loop/branch overhead in the hot path).
         """
+        if "nofetch" in _ABLATE:
+            return stream_ref[0, 0]
         if nw <= 64:
             acc = jnp.zeros(SEG_SHAPE, jnp.int32)
             for w in range(nw):
@@ -147,29 +166,57 @@ def _entropy_kernel(
         lo = _shl_safe(lo, n)
         return hi, lo, navail - n, wp
 
+    def _tree_sum(terms):
+        """Balanced-tree sum: depth log2(n) instead of a 16-deep chain."""
+        while len(terms) > 1:
+            nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
     def decode_symbol(window, slot):
         """Canonical Huffman decode from the next <=16 bits.
 
-        Returns (symbol, code_len); code_len==0 marks an invalid code.
-        The compare-scan is the vectorised form of the spec's F.2.2.3
-        DECODE procedure (cf. the LUT build in xjpeg.c:311-336).
+        Returns (symbol, code_len); code_len == 17 marks an invalid code.
+        Both the code length and the symbol index are *independent*
+        per-length sums over the canonical code structure -- no select
+        chain, so the 16 length terms all issue in parallel:
+
+          ln  = 1 + #{L : window >= thresh[L]}   (unsigned, bias-compared)
+          idx = sum_L clamp(topL(window) - cbase[L], 0, counts[L]) - 1
+
+        The second line is the canonical-code rank identity: the number
+        of codewords whose scaled value is <= the window, i.e. exactly
+        the decoded symbol's table position (spec F.2.2.3 DECODE, cf. the
+        serial LUT build in xjpeg.c:311-336).
         """
         hi = window[0]
-        ln = jnp.zeros(SEG_SHAPE, jnp.int32)
-        idx = jnp.zeros(SEG_SHAPE, jnp.int32)
-        done = jnp.zeros(SEG_SHAPE, jnp.bool_)
+        if "nodecode" in _ABLATE:
+            return (hi & 0x15) | 1, (hi & 3) + 4
+        hib = hi ^ jnp.int32(-0x80000000)
+        ln_terms = []
+        idx_terms = []
         for length in range(1, 17):
-            code = _lsr(hi, 32 - length)
-            hit = jnp.logical_and(
-                jnp.logical_not(done), code <= maxcode_ref[slot, length - 1]
+            ln_terms.append(
+                (hib >= thresh_ref[slot, length - 1]).astype(jnp.int32)
             )
-            ln = jnp.where(hit, length, ln)
-            idx = jnp.where(hit, code + delta_ref[slot, length - 1], idx)
-            done = jnp.logical_or(done, hit)
-        idx = jnp.clip(idx, 0, 255)
-        sym_lo = _gather_lanes(symbols_ref[slot, 0], jnp.minimum(idx, 127))
-        sym_hi = _gather_lanes(symbols_ref[slot, 1], jnp.maximum(idx - 128, 0))
-        sym = jnp.where(idx < 128, sym_lo, sym_hi)
+            top = _lsr(hi, 32 - length)
+            idx_terms.append(
+                jnp.clip(
+                    top - cbase_ref[slot, length - 1],
+                    0,
+                    counts_ref[slot, length - 1],
+                )
+            )
+        ln = 1 + _tree_sum(ln_terms)
+        idx = jnp.clip(_tree_sum(idx_terms) - 1, 0, 255)
+        if "nogather" in _ABLATE:
+            return idx & 0x73, ln
+        # Symbols are packed 4 per word (segments.py): one lane gather on
+        # idx>>2, then extract byte idx&3 with a per-lane variable shift.
+        word = _gather_lanes(symbols_ref[slot], _lsr(idx, 2))
+        sym = _lsr(word, (idx & 3) * 8) & 0xFF
         return sym, ln
 
     def extract_extend(window, ln, size):
@@ -189,30 +236,31 @@ def _entropy_kernel(
     # ---- DC (uniform across lanes) ----
     window = refill(window)
     sym, ln = decode_symbol(window, dc_slot)
-    bad_dc = ln == 0
+    bad_dc = ln > 16
     size = jnp.minimum(sym, 15)
     diff = extract_extend(window, ln, size)
     window = consume(window, jnp.where(bad_dc, 0, ln + size))
     dc = state_ref[4 + comp] + jnp.where(bad_dc, 0, diff)
     state_ref[4 + comp] = dc
 
-    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64,) + SEG_SHAPE, 0)
-    acc = jnp.where(iota64 == 0, dc[None], 0).astype(jnp.int32)
-
+    # The accumulator rows stay int32: Mosaic rejects i16 compares
+    # outright, and an i16 select/add after an i32 compare measured
+    # *slower* than pure i32 (mask relayout dominates any packing win).
     err = err_ref[0] | jnp.where(bad_dc, ERR_BAD_CODE, 0)
 
     # ---- AC loop: one symbol per iteration for every active lane ----
-    # A fixed fori_loop(63) with per-lane active masks: finished lanes do
-    # masked no-ops.  Deliberately NOT a while_loop -- the per-iteration
-    # any()-reduction and lax.cond scalar syncs measured ~20x slower than
-    # simply running the worst-case iteration count branch-free.
+    # Per-lane active masks: finished lanes do masked no-ops.  Deliberately
+    # NOT a while_loop -- the per-iteration any()-reduction and lax.cond
+    # scalar syncs measured ~20x slower than running the worst-case
+    # iteration count branch-free.
     # Masks carried as int32 (0/1): Mosaic cannot yield i1 vectors.
-    def ac_body(_, carry):
-        hi, lo, navail, wp, k, active, acc, err = carry
+    def ac_decode(carry):
+        """Decode one AC symbol; returns (carry', newk, masked value)."""
+        hi, lo, navail, wp, k, active, err = carry
         act = active > 0
         window = refill((hi, lo, navail, wp))
         sym, ln = decode_symbol(window, ac_slot)
-        bad = jnp.logical_and(act, ln == 0)
+        bad = jnp.logical_and(act, ln > 16)
         sym = jnp.where(bad, 0, sym)  # treat as EOB to make progress
         run = _lsr(sym, 4)
         size = sym & 15
@@ -226,9 +274,7 @@ def _entropy_kernel(
             jnp.logical_and(act, size > 0),
             jnp.logical_and(jnp.logical_not(over), jnp.logical_not(is_eob)),
         )
-        acc = acc + jnp.where(
-            jnp.logical_and(iota64 == newk[None], write[None]), val[None], 0
-        )
+        valw = jnp.where(write, val, 0)
         consumed = jnp.where(
             jnp.logical_and(act, jnp.logical_not(bad)), ln + size, 0
         )
@@ -244,14 +290,57 @@ def _entropy_kernel(
         still = jnp.logical_and(still, jnp.logical_not(over))
         err = err | jnp.where(bad, ERR_BAD_CODE, 0) | jnp.where(over, ERR_OVERRUN, 0)
         hi, lo, navail, wp = window
-        return hi, lo, navail, wp, k, still.astype(jnp.int32), acc, err
+        carry = (hi, lo, navail, wp, k, still.astype(jnp.int32), err)
+        return carry, newk, valw
 
     hi, lo, navail, wp = window
     k0 = jnp.zeros(SEG_SHAPE, jnp.int32)
     active0 = jnp.logical_not(bad_dc).astype(jnp.int32)
-    hi, lo, navail, wp, _, _, acc, err = jax.lax.fori_loop(
-        0, 63, ac_body, (hi, lo, navail, wp, k0, active0, acc, err)
-    )
+    carry = (hi, lo, navail, wp, k0, active0, err)
+
+    if unroll:
+        # Fully unrolled Python loop (the compiled-TPU path).  Unrolling
+        # measured 2.3x faster than lax.fori_loop (the loop carries spill
+        # through memory per iteration), and it buys the *triangular*
+        # accumulate: at iteration i every lane's write position
+        # newk = k+run+1 >= i+1 (k advances >= 1 per non-EOB symbol), so
+        # the one-hot add only touches rows i+1..63 -- half the work of a
+        # fixed 64-row sweep, the kernel's largest single cost.
+        zero = jnp.zeros(SEG_SHAPE, jnp.int32)
+        rows = [dc] + [zero] * 63
+        for i in range(63):
+            carry, newk, valw = ac_decode(carry)
+            if "noacc" in _ABLATE:
+                carry = carry[:-1] + (carry[-1] + valw,)
+            else:
+                for j in range(i + 1, 64):
+                    rows[j] = rows[j] + jnp.where(newk == j, valw, 0)
+        # De-zig-zag for free: emit rows in natural order (a static
+        # permutation of the register list at stack time).
+        acc = jnp.stack([rows[int(z)] for z in DEZIGZAG])
+    else:
+        # lax.fori_loop with a dense one-hot accumulate: used in interpret
+        # mode (CPU tests), where the unrolled trace is 63x larger for no
+        # benefit.  Bit-identical outputs to the unrolled path by
+        # construction (same ac_decode; the accumulate targets the same
+        # positions) -- asserted by tests/test_device_entropy.py.
+        iota64 = jax.lax.broadcasted_iota(jnp.int32, (64,) + SEG_SHAPE, 0)
+        acc0 = jnp.where(iota64 == 0, dc[None], 0).astype(jnp.int32)
+
+        def ac_body(_, state):
+            carry, acc = state
+            carry, newk, valw = ac_decode(carry)
+            if "noacc" in _ABLATE:
+                carry = carry[:-1] + (carry[-1] + valw,)
+            else:
+                acc = acc + jnp.where(iota64 == newk[None], valw[None], 0)
+            return carry, acc
+
+        carry, acc = jax.lax.fori_loop(0, 63, ac_body, (carry, acc0))
+        # De-zig-zag as a static row permutation (no captured constants).
+        acc = jnp.stack([acc[int(z)] for z in DEZIGZAG])
+
+    hi, lo, navail, wp, _, _, err = carry
 
     out_ref[0, 0] = acc.astype(jnp.int16)
     err_ref[0] = err
@@ -266,22 +355,29 @@ def decode_segments_device(
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
-    maxcode: jax.Array,       # (8, 16) int32
-    delta: jax.Array,         # (8, 16) int32
-    symbols: jax.Array,       # (8, 2, 8, 128) int32
+    thresh: jax.Array,        # (8, 16) int32
+    cbase: jax.Array,         # (8, 16) int32
+    counts: jax.Array,        # (8, 16) int32
+    symbols: jax.Array,       # (8, 8, 128) int32, 4 syms/word
     interpret: bool | None = None,
+    unroll: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the device entropy decoder.
+    """Run the device entropy decoder (tables: DeviceScanPlan.kernel_tables).
 
-    Returns (coefs, err): coefs (B, T, 64, 8, 128) int16 zigzag-ordered,
+    Returns (coefs, err): coefs (B, T, 64, 8, 128) int16 natural-order,
     err (B, 8, 128) int32 per-segment error flags (0 = clean).
+
+    ``unroll`` picks the AC-loop form (default: unrolled when compiled,
+    fori_loop under interpret); both produce identical coefficients.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if unroll is None:
+        unroll = not interpret
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(
@@ -306,14 +402,17 @@ def decode_segments_device(
         scratch_shapes=[pltpu.VMEM((8, SUBLANES, LANES), jnp.int32)],
     )
     coefs, err = pl.pallas_call(
-        _entropy_kernel,
+        functools.partial(_entropy_kernel, unroll),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, t, 64, SUBLANES, LANES), jnp.int16),
             jax.ShapeDtypeStruct((b, SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(comp_map, dcslot_map, acslot_map, maxcode, delta, streams, symbols)
+    )(
+        comp_map, dcslot_map, acslot_map, thresh, cbase, counts,
+        streams, symbols,
+    )
     return coefs, err
 
 
@@ -328,13 +427,11 @@ def assemble_components(
 ):
     """XLA post-pass: kernel output -> per-component (vb, hb, 8, 8) coefs.
 
-    Pure reshapes/transposes plus one static de-zig-zag gather; runs on
-    device inside the same jit as the pixel pipeline.  Block step order is
-    the MCU-interleaved scan order (components in scan order, sub-blocks
-    row-major), identical for every segment.
+    Pure reshapes/transposes; the kernels already emit natural-order
+    (de-zig-zagged) rows.  Block step order is the MCU-interleaved scan
+    order (components in scan order, sub-blocks row-major), identical for
+    every segment.
     """
-    from jpeg_gpu_tpu.ops.zigzag import DEZIGZAG
-
     b, t = kernel_out.shape[:2]
     nseg_slots = b * SUBLANES * LANES
     x = kernel_out.reshape(b, t, 64, SUBLANES * LANES)
@@ -346,7 +443,6 @@ def assemble_components(
     x = x[:n_mcus]
     out = []
     off = 0
-    dez = jnp.asarray(DEZIGZAG)
     for hs, vs in comp_geometry:
         nb = hs * vs
         yc = x[:, off : off + nb, :]                      # (n_mcus, vs*hs, 64)
@@ -354,6 +450,5 @@ def assemble_components(
         yc = yc.reshape(nvmb, nhmb, vs, hs, 64)
         yc = yc.transpose(0, 2, 1, 3, 4)                  # (nvmb, vs, nhmb, hs, 64)
         yc = yc.reshape(nvmb * vs, nhmb * hs, 64)
-        nat = jnp.take(yc, dez, axis=-1)                  # de-zig-zag
-        out.append(nat.reshape(nvmb * vs, nhmb * hs, 8, 8))
+        out.append(yc.reshape(nvmb * vs, nhmb * hs, 8, 8))
     return tuple(out)

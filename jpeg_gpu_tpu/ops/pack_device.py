@@ -36,6 +36,7 @@ from jpeg_gpu_tpu.ops.entropy_device import (
     SUBLANES,
     _lsr,
 )
+from jpeg_gpu_tpu.ops.zigzag import DEZIGZAG
 
 
 def _pack_kernel(
@@ -106,7 +107,8 @@ def _pack_kernel(
         0, 63, ac_body, (wp, half, k0, jnp.ones(SEG_SHAPE, jnp.int32), acc)
     )
 
-    out_ref[0, 0] = acc.astype(jnp.int16)
+    # De-zig-zag as a static row permutation (no captured constants).
+    out_ref[0, 0] = jnp.stack([acc[int(z)] for z in DEZIGZAG]).astype(jnp.int16)
     state_ref[0] = wp
     state_ref[1] = half
 
@@ -116,7 +118,7 @@ def expand_pack_device(
     blocks_per_segment: int,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Expand packed streams -> (B, T, 64, 8, 128) int16 zigzag coefs."""
+    """Expand packed streams -> (B, T, 64, 8, 128) int16 natural-order coefs."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, nw = streams.shape[0], streams.shape[1]

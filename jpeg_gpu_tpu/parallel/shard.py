@@ -195,7 +195,7 @@ def decode_image_device_sharded(
     mesh: Mesh,
     assemble_args: Tuple,   # (n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom)
     streams: jax.Array,     # (B, NW, 8, 128) int32, B divisible by data axis
-    plan_tables: Tuple[jax.Array, ...],  # comp/dc/ac maps, maxcode, delta, symbols
+    plan_tables: Tuple[jax.Array, ...],  # DeviceScanPlan.kernel_tables
     qtables: Tuple[jax.Array, ...],
 ):
     """One image, fully on-device, distributed: restart-segment batches

@@ -82,3 +82,28 @@ def test_device_entropy_corrupt_stream_flags_error():
     parsed2 = parse(bytes(data), validate=False)
     with pytest.raises(JpegFormatError):
         entropy_decode_device(parsed2, interpret=True)
+
+
+def test_unrolled_write_position_invariant():
+    """The compiled kernel's triangular accumulate assumes AC symbol i
+    writes zigzag position >= i+1.  That holds because k advances by
+    run+1 >= 1 per coded symbol; assert it over a real scan's pack
+    streams (the unrolled kernel itself is exercised on real hardware --
+    interpret mode cannot run the 63x-unrolled form in test time)."""
+    img = corpus.synthetic_rgb(64, 64, seed=12)
+    enc = corpus.own_jpeg(img, subsampling="4:2:0", quality=95)
+    parsed = parse(enc.data)
+    res = entropy.decode_scan(parsed, want_pack=True)
+    pack = np.asarray(res.pack, dtype=np.uint16)
+    starts = [int(v) for idx in res.pack_index for v in np.asarray(idx).reshape(-1)]
+    starts = sorted(starts) + [len(pack)]
+    for s0, s1 in zip(starts, starts[1:]):
+        k = 0
+        # entries after the DC entry; 0x0000 is EOB
+        for i, entry in enumerate(pack[s0 + 1 : s1]):
+            if entry == 0:
+                break
+            run = int(entry) >> 12
+            k += run + 1
+            assert k >= i + 1
+            assert k <= 63
