@@ -79,8 +79,15 @@ def _sample_planes(spec: PipelineSpec, coefs, qtables):
     """Per-component full (MCU-aligned) sample planes, uint8."""
     planes = []
     for ci in range(spec.ncomps):
-        blocks = _block_pixels(spec, coefs[ci], qtables[ci])
-        planes.append(idct_ops.blocks_to_plane(blocks))
+        if spec.exact:
+            # Emits the raster plane directly: the blocks->plane u8
+            # transpose dominated the pipeline when done as a post-pass.
+            planes.append(
+                idct_islow.dequant_idct_islow_plane(coefs[ci], qtables[ci])
+            )
+        else:
+            blocks = _block_pixels(spec, coefs[ci], qtables[ci])
+            planes.append(idct_ops.blocks_to_plane(blocks))
     return planes
 
 

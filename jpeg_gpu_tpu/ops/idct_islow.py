@@ -120,3 +120,34 @@ def dequant_idct_islow_pixels(coefs: jax.Array, qtable: jax.Array, xp=jnp) -> ja
     deq = coefs.astype(xp.int32) * qtable.astype(xp.int32)
     x = idct8x8_islow(deq, xp=xp) + 128
     return xp.clip(x, 0, 255).astype(xp.uint8)
+
+
+def dequant_idct_islow_plane(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """Bit-exact sample path emitting the raster plane directly.
+
+    (..., vb, hb, 8, 8) coefficients -> (..., vb*8, hb*8) uint8 samples.
+    Identical arithmetic to dequant_idct_islow_pixels, but the second pass
+    assembles its outputs in (vb, row-in-block, hb, col-in-block) order, so
+    the plane is a free reshape.  A separate blocks->plane u8 transpose
+    measured ~2 ms per 8x1080p batch -- over half the whole pixel
+    pipeline -- because 8-bit transposes lower poorly; fusing the layout
+    into the IDCT's final strided writes removes it entirely.
+    """
+    x = coefs.astype(jnp.int32) * qtable.astype(jnp.int32)
+    *lead, vb, hb, _, _ = x.shape
+    # Pass 1: columns (along u). Each slice is (..., vb, hb, 8v).
+    cols = [x[..., u, :] for u in range(8)]
+    p1 = _idct8(*cols, descale_bits=CONST_BITS - PASS1_BITS)
+    # Pass 2: rows, one output row u at a time; row u lands at plane row
+    # vb*8+u via the axis=-3 stack below (no standalone transpose).
+    # (A batched pass 2 followed by a 64-slice u8 reassembly measured
+    # ~1.8 ms slower at 8x1080p: narrow u8 strided reads fuse poorly.)
+    out_rows = []
+    for u in range(8):
+        cv = [p1[u][..., v] for v in range(8)]
+        o = _idct8(*cv, descale_bits=CONST_BITS + PASS1_BITS + 3)
+        row = jnp.stack(o, axis=-1)              # (..., vb, hb, 8v)
+        row = jnp.clip(row + 128, 0, 255).astype(jnp.uint8)
+        out_rows.append(row)
+    y = jnp.stack(out_rows, axis=-3)             # (..., vb, 8u, hb, 8v)
+    return y.reshape(*lead, vb * 8, hb * 8)
