@@ -54,13 +54,23 @@ def decode_batch(
     exact: bool = True,
     mesh=None,
     upsample: str = "nearest",
+    entropy: str = "host",
 ) -> List[np.ndarray]:
     """Decode a corpus of JPEGs to RGB, batching same-geometry images.
 
     With ``mesh`` (a (data, space) jax Mesh, parallel/mesh.py), each
     bucket's batch is shard_map'd across the mesh; otherwise it runs as a
-    single-device batched call.  Returns RGB arrays in input order.
+    single-device batched call.  ``entropy="device"`` runs the Huffman
+    decode on the accelerator too (decode_batch_device; single-device).
+    Returns RGB arrays in input order.
     """
+    if entropy == "device":
+        if mesh is not None:
+            raise NotImplementedError(
+                "entropy='device' corpus decode is single-device; "
+                "use decode_image_device_sharded for distributed decode"
+            )
+        return decode_batch_device(datas, exact=exact, upsample=upsample)
     buckets: Dict[Tuple, _Bucket] = {}
     for i, data in enumerate(datas):
         parsed = parse(data)
@@ -127,3 +137,118 @@ def _decode_bucket(bucket: _Bucket, mesh) -> np.ndarray:
     rgb, _ = decode_batch_sharded(spec, mesh, coefs, qtables)
     rgb = np.asarray(rgb)[:n, : spec.height, : spec.width]
     return rgb
+
+
+def decode_batch_device(
+    datas: Sequence[bytes],
+    exact: bool = True,
+    upsample: str = "nearest",
+    interpret: Optional[bool] = None,
+    check_errors: bool = True,
+) -> List[np.ndarray]:
+    """Fully on-device corpus decode: per-image entropy bits -> RGB.
+
+    Images bucket by (geometry, restart structure); each bucket runs ONE
+    program: the multi-table entropy kernel over every image's stacked
+    segment batches (per-image Huffman tables routed by segment batch),
+    vmapped assembly, then the batched pixel pipeline.  The host only
+    parses markers and packs destuffed words -- this is the serving path
+    for corpora, with the per-image work the reference's CPU re-did every
+    frame (xjpeg_decode_scan) all on the accelerator.
+
+    Falls back to the host-entropy ``decode_batch`` for images the device
+    planner rejects (e.g. a no-restart stream too large per segment).
+    """
+    from jpeg_gpu_tpu.errors import JpegFormatError, JpegUnsupportedError
+    from jpeg_gpu_tpu.host.segments import (
+        build_corpus_plan,
+        build_plan,
+        plan_bucket_key,
+    )
+    from jpeg_gpu_tpu.ops import entropy_device
+
+    out: List[Optional[np.ndarray]] = [None] * len(datas)
+    buckets: Dict[Tuple, List[Tuple[int, object, object]]] = defaultdict(list)
+    fallback: List[int] = []
+    for i, data in enumerate(datas):
+        parsed = parse(data)
+        try:
+            plan = build_plan(parsed)
+        except JpegUnsupportedError:
+            fallback.append(i)
+            continue
+        spec = PipelineSpec.from_header(
+            parsed.header, exact=exact, upsample=upsample
+        )
+        key = (_bucket_key(spec), spec.exact, spec.upsample, plan_bucket_key(plan))
+        buckets[key].append((i, parsed, plan))
+
+    for items in buckets.values():
+        indices = [i for i, _, _ in items]
+        parsed0 = items[0][1]
+        hdr = parsed0.header
+        spec = PipelineSpec.from_header(hdr, exact=exact, upsample=upsample)
+        corpus_plan = build_corpus_plan([p for _, _, p in items])
+        geom = tuple(
+            (hdr.components[ci].hsamp, hdr.components[ci].vsamp)
+            for ci in hdr.scan.comp_idx
+        )
+        qtables = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            p.header.quant_for(c).values.astype(np.int32)
+                            for c in p.header.components
+                        ]
+                    )
+                    for _, p, _ in items
+                ]
+            )
+        )  # (NI, ncomps, 8, 8)
+        ni = corpus_plan.n_images
+        b1 = corpus_plan.batches_per_image
+
+        kernel_out, err = entropy_device.decode_segments_device_multi(
+            jnp.asarray(corpus_plan.streams),
+            *(jnp.asarray(x) for x in corpus_plan.kernel_tables),
+            interpret=interpret,
+        )
+        per_image = kernel_out.reshape((ni, b1) + kernel_out.shape[1:])
+
+        def assemble_one(one):
+            return entropy_device.assemble_components(
+                one,
+                corpus_plan.n_segments,
+                corpus_plan.mcus_per_segment,
+                corpus_plan.n_mcus,
+                hdr.nhmb,
+                hdr.nvmb,
+                geom,
+            )
+
+        comps = jax.jit(jax.vmap(assemble_one))(per_image)
+        qts = tuple(
+            qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
+        )
+        rgb = np.asarray(decode_rgb(spec, tuple(comps), qts))
+        if check_errors:
+            flags = np.asarray(err).reshape(ni, -1)[
+                :, : max(corpus_plan.n_segments - 1, 0)
+            ]
+            if flags.any():
+                bad_img, bad_seg = map(int, np.argwhere(flags)[0])
+                raise JpegFormatError(
+                    f"device entropy decode failed: image {indices[bad_img]}"
+                    f" restart segment {bad_seg}"
+                )
+        for j, i in enumerate(indices):
+            out[i] = rgb[j]
+
+    if fallback:
+        host = decode_batch(
+            [datas[i] for i in fallback], exact=exact, upsample=upsample
+        )
+        for j, i in enumerate(fallback):
+            out[i] = host[j]
+    return out  # type: ignore[return-value]

@@ -201,3 +201,92 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         counts=counts,
         symbols=symbols,
     )
+
+
+@dataclasses.dataclass
+class CorpusScanPlan:
+    """Device-decoder input for a bucket of same-geometry images.
+
+    Every image's segment batches stack on the leading stream axis;
+    ``img_of_batch`` routes each batch to its image's Huffman tables
+    (images in a bucket share geometry and restart structure but may use
+    different tables -- e.g. per-image optimized DHT segments).
+    """
+
+    streams: np.ndarray        # (NI*B1, NW, 8, 128) int32
+    img_of_batch: np.ndarray   # (NI*B1,) int32
+    n_images: int
+    batches_per_image: int     # B1 (same for every image: same n_segments)
+    n_segments: int
+    mcus_per_segment: int
+    n_mcus: int
+    comp_of_step: np.ndarray   # (T,) shared across the bucket
+    dc_slot_of_step: np.ndarray
+    ac_slot_of_step: np.ndarray
+    thresh: np.ndarray         # (NI, 8, 16) int32
+    cbase: np.ndarray          # (NI, 8, 16) int32
+    counts: np.ndarray         # (NI, 8, 16) int32
+    symbols: np.ndarray        # (NI, 8, 8, 128) int32
+
+    @property
+    def kernel_tables(self) -> Tuple[np.ndarray, ...]:
+        """Args for decode_segments_device_multi after the streams tensor."""
+        return (
+            self.img_of_batch,
+            self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
+            self.thresh, self.cbase, self.counts, self.symbols,
+        )
+
+
+def plan_bucket_key(plan: DeviceScanPlan) -> Tuple:
+    """Hashable key: plans with equal keys can share one CorpusScanPlan."""
+    return (
+        plan.n_segments,
+        plan.mcus_per_segment,
+        plan.n_mcus,
+        plan.comp_of_step.tobytes(),
+        plan.dc_slot_of_step.tobytes(),
+        plan.ac_slot_of_step.tobytes(),
+    )
+
+
+def build_corpus_plan(plans: Sequence[DeviceScanPlan]) -> CorpusScanPlan:
+    """Stack per-image plans (same bucket key) into one kernel invocation.
+
+    Streams are right-padded with all-ones words to the bucket's max word
+    count (the bit reader's 1-padding contract, as in build_plan); tables
+    stack on a new image axis.
+    """
+    p0 = plans[0]
+    key0 = plan_bucket_key(p0)
+    for p in plans[1:]:
+        if plan_bucket_key(p) != key0:
+            raise ValueError("corpus plans come from different buckets")
+    nw = max(p.nw for p in plans)
+    streams = []
+    img_of_batch = []
+    for i, p in enumerate(plans):
+        s = p.streams
+        if p.nw < nw:
+            pad = np.full(
+                (s.shape[0], nw - p.nw, SUBLANES, LANES), -1, dtype=np.int32
+            )
+            s = np.concatenate([s, pad], axis=1)
+        streams.append(s)
+        img_of_batch.extend([i] * s.shape[0])
+    return CorpusScanPlan(
+        streams=np.concatenate(streams, axis=0),
+        img_of_batch=np.asarray(img_of_batch, dtype=np.int32),
+        n_images=len(plans),
+        batches_per_image=p0.streams.shape[0],
+        n_segments=p0.n_segments,
+        mcus_per_segment=p0.mcus_per_segment,
+        n_mcus=p0.n_mcus,
+        comp_of_step=p0.comp_of_step,
+        dc_slot_of_step=p0.dc_slot_of_step,
+        ac_slot_of_step=p0.ac_slot_of_step,
+        thresh=np.stack([p.thresh for p in plans]),
+        cbase=np.stack([p.cbase for p in plans]),
+        counts=np.stack([p.counts for p in plans]),
+        symbols=np.stack([p.symbols for p in plans]),
+    )

@@ -96,15 +96,17 @@ def _entropy_kernel(
     # bound statically via functools.partial:
     unroll,          # bool: unrolled AC loop (compiled) vs fori (interpret)
     # scalar prefetch (SMEM):
+    imgmap_ref,      # (B,) int32: image index of segment batch b (tables
+    #                  are per image -- corpus batches mix Huffman tables)
     comp_map_ref,    # (T,) int32: frame component of block step t
     dcslot_ref,      # (T,) int32: DC table slot (0..3)
     acslot_ref,      # (T,) int32: AC table slot (4..7)
-    thresh_ref,      # (8, 16) int32: scaled+biased first-unassigned code
-    cbase_ref,       # (8, 16) int32: mincode - 1 per length
-    counts_ref,      # (8, 16) int32: codes per length
+    thresh3_ref,     # (NI, 8, 16) int32: scaled+biased first-unassigned code
+    cbase3_ref,      # (NI, 8, 16) int32: mincode - 1 per length
+    counts3_ref,     # (NI, 8, 16) int32: codes per length
     # tensor inputs (VMEM):
     stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
-    symbols_ref,     # (8, 8, 128) int32: symbol tables, 4 syms/word
+    symbols4_ref,    # (NI, 8, 8, 128) int32: symbol tables, 4 syms/word
     # outputs:
     out_ref,         # (1, 1, 64, 8, 128) int16: this block step's coefs
     err_ref,         # (1, 8, 128) int32: per-segment error flags
@@ -113,6 +115,9 @@ def _entropy_kernel(
 ):
     t = pl.program_id(1)
     nw = stream_ref.shape[1]
+    img = imgmap_ref[pl.program_id(0)]
+    # This image's tables, read with full dynamic indices each time
+    # (Mosaic rejects .at[] sub-ref views whose minor dims break tiling).
 
     @pl.when(t == 0)
     def _init():
@@ -199,14 +204,14 @@ def _entropy_kernel(
         idx_terms = []
         for length in range(1, 17):
             ln_terms.append(
-                (hib >= thresh_ref[slot, length - 1]).astype(jnp.int32)
+                (hib >= thresh3_ref[img, slot, length - 1]).astype(jnp.int32)
             )
             top = _lsr(hi, 32 - length)
             idx_terms.append(
                 jnp.clip(
-                    top - cbase_ref[slot, length - 1],
+                    top - cbase3_ref[img, slot, length - 1],
                     0,
-                    counts_ref[slot, length - 1],
+                    counts3_ref[img, slot, length - 1],
                 )
             )
         ln = 1 + _tree_sum(ln_terms)
@@ -215,7 +220,7 @@ def _entropy_kernel(
             return idx & 0x73, ln
         # Symbols are packed 4 per word (segments.py): one lane gather on
         # idx>>2, then extract byte idx&3 with a per-lane variable shift.
-        word = _gather_lanes(symbols_ref[slot], _lsr(idx, 2))
+        word = _gather_lanes(symbols4_ref[img, slot], _lsr(idx, 2))
         sym = _lsr(word, (idx & 3) * 8) & 0xFF
         return sym, ln
 
@@ -350,19 +355,24 @@ def _entropy_kernel(
     state_ref[3] = wp
 
 
-def decode_segments_device(
+def decode_segments_device_multi(
     streams: jax.Array,       # (B, NW, 8, 128) int32
+    img_of_batch: jax.Array,  # (B,) int32: image index of segment batch b
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
-    thresh: jax.Array,        # (8, 16) int32
-    cbase: jax.Array,         # (8, 16) int32
-    counts: jax.Array,        # (8, 16) int32
-    symbols: jax.Array,       # (8, 8, 128) int32, 4 syms/word
+    thresh: jax.Array,        # (NI, 8, 16) int32
+    cbase: jax.Array,         # (NI, 8, 16) int32
+    counts: jax.Array,        # (NI, 8, 16) int32
+    symbols: jax.Array,       # (NI, 8, 8, 128) int32, 4 syms/word
     interpret: bool | None = None,
     unroll: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the device entropy decoder (tables: DeviceScanPlan.kernel_tables).
+    """Device entropy decode with per-image Huffman tables.
+
+    A corpus batch stacks every image's segment batches on the leading
+    axis; ``img_of_batch`` routes each batch to its image's tables (the
+    block-step maps must be shared -- same geometry bucket).
 
     Returns (coefs, err): coefs (B, T, 64, 8, 128) int16 natural-order,
     err (B, 8, 128) int32 per-segment error flags (0 = clean).
@@ -377,7 +387,7 @@ def decode_segments_device(
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(
@@ -410,10 +420,38 @@ def decode_segments_device(
         ],
         interpret=interpret,
     )(
-        comp_map, dcslot_map, acslot_map, thresh, cbase, counts,
-        streams, symbols,
+        img_of_batch, comp_map, dcslot_map, acslot_map,
+        thresh, cbase, counts, streams, symbols,
     )
     return coefs, err
+
+
+def decode_segments_device(
+    streams: jax.Array,       # (B, NW, 8, 128) int32
+    comp_map: jax.Array,      # (T,) int32
+    dcslot_map: jax.Array,    # (T,) int32
+    acslot_map: jax.Array,    # (T,) int32
+    thresh: jax.Array,        # (8, 16) int32
+    cbase: jax.Array,         # (8, 16) int32
+    counts: jax.Array,        # (8, 16) int32
+    symbols: jax.Array,       # (8, 8, 128) int32, 4 syms/word
+    interpret: bool | None = None,
+    unroll: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-image device entropy decode (tables: DeviceScanPlan.kernel_tables).
+
+    Returns (coefs, err): coefs (B, T, 64, 8, 128) int16 natural-order,
+    err (B, 8, 128) int32 per-segment error flags (0 = clean).
+    """
+    b = streams.shape[0]
+    return decode_segments_device_multi(
+        streams,
+        jnp.zeros((b,), jnp.int32),
+        comp_map, dcslot_map, acslot_map,
+        thresh[None], cbase[None], counts[None], symbols[None],
+        interpret=interpret,
+        unroll=unroll,
+    )
 
 
 def assemble_components(

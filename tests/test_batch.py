@@ -44,3 +44,26 @@ def test_batch_sharded_data_only_mesh():
     outs = decode_batch(datas, mesh=mesh)
     for data, got in zip(datas, outs):
         np.testing.assert_array_equal(got, decode(data, out="rgb", impl="tpu"))
+
+
+def test_decode_batch_device_mixed_tables():
+    """Corpus device decode: same geometry, different Huffman tables."""
+    from jpeg_gpu_tpu.engine.batch import decode_batch_device
+
+    datas = []
+    for seed, q in [(0, 70), (1, 92), (2, 85)]:
+        img = corpus.synthetic_rgb(48, 64, seed=seed)
+        datas.append(
+            corpus.pil_jpeg(
+                img, quality=q, subsampling="4:2:0", optimize=True,
+                restart_marker_blocks=2,
+            )
+        )
+    # Mixed geometry joins its own bucket; no-restart image falls back.
+    gray = corpus.synthetic_gray(32, 32, seed=3)
+    datas.append(corpus.pil_jpeg(gray, quality=80))
+    ref = decode_batch(datas)
+    got = decode_batch_device(datas)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
