@@ -130,17 +130,36 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     interval = header.restart_interval or header.n_mcus
     nseg = len(parsed.segments)
 
-    # Destuff + word-pack every segment.
-    seg_words: List[np.ndarray] = []
-    nw = 0
-    for s, e in parsed.segments:
-        raw = destuff(parsed.data[s:e])
-        pad = (-len(raw)) % 4
-        raw = raw + b"\xff" * pad
-        words = np.frombuffer(raw, dtype=">u4").astype(np.int64)
-        seg_words.append(words)
-        nw = max(nw, len(words))
-    nw += 2  # slack so the refill never reads past a real word mid-peek
+    # Destuff + word-pack every segment, vectorised across the whole scan
+    # (a per-segment Python loop measured 65 ms for a 1080p frame -- twice
+    # the device's entire decode time).  Stuffed zeros (0xFF 0x00 inside a
+    # segment) are dropped with one boolean mask; surviving bytes scatter
+    # into a 1-padded (nseg, nw*4) byte matrix with one fancy assignment.
+    arr = np.frombuffer(parsed.data, dtype=np.uint8)
+    starts = np.fromiter((s for s, _ in parsed.segments), np.int64, nseg)
+    ends = np.fromiter((e for _, e in parsed.segments), np.int64, nseg)
+    lens = ends - starts
+    total = int(lens.sum())
+    seg_id = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    gidx = starts[seg_id] + within
+    byts = arr[gidx]
+    # A stuffed zero follows 0xFF inside the same segment.  Pairs never
+    # cross segment boundaries (0xFF before a non-zero byte is a marker,
+    # which the parser ends the span at), so within>0 guards the lookback.
+    stuffed = (byts == 0) & (within > 0)
+    stuffed[stuffed] &= arr[gidx[stuffed] - 1] == 0xFF
+    keep = ~stuffed
+    kept = byts[keep]
+    kseg = seg_id[keep]
+    counts = np.bincount(kseg, minlength=nseg)
+    kept_before = np.cumsum(counts) - counts
+    offs = np.arange(kept.size, dtype=np.int64) - np.repeat(kept_before, counts)
+
+    nw = (int(counts.max(initial=0)) + 3) // 4 + 2  # +slack: refill never
+    #   reads past a real word mid-peek
     if nw > max_words:
         raise JpegUnsupportedError(
             f"segment too large for device decode ({nw} words > {max_words}); "
@@ -148,13 +167,12 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         )
 
     nbatch = -(-nseg // SEGMENTS_PER_BATCH)
-    streams = np.full(
-        (nbatch, nw, SEGMENTS_PER_BATCH), 0xFFFFFFFF, dtype=np.int64
-    )
-    for i, words in enumerate(seg_words):
-        streams[i // SEGMENTS_PER_BATCH, : len(words), i % SEGMENTS_PER_BATCH] = words
-    # Reinterpret the u32 bit patterns as int32 (the kernel's word dtype).
-    streams = streams.astype(np.uint32).view(np.int32)
+    mat = np.full((nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8)
+    mat[kseg, offs] = kept
+    words = mat.view(">u4").astype(np.uint32)   # (nseg_padded, nw)
+    streams = np.ascontiguousarray(
+        words.reshape(nbatch, SEGMENTS_PER_BATCH, nw).transpose(0, 2, 1)
+    ).view(np.int32)
     streams = streams.reshape(nbatch, nw, SUBLANES, LANES)
 
     # Block-step maps (identical for every segment: interleaved MCU order).
