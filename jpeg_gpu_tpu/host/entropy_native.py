@@ -76,6 +76,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p),      # coef_out pointers
             ctypes.c_int32,                       # n_threads
         ]
+        lib.xjpeg_pack_streams.restype = ctypes.c_int32
+        lib.xjpeg_pack_streams.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.POINTER(ctypes.c_int64),       # seg_starts
+            ctypes.POINTER(ctypes.c_int64),       # seg_ends
+            ctypes.c_int64,                       # nseg
+            ctypes.c_int64,                       # row_bytes
+            ctypes.c_void_p,                      # mat (or NULL)
+            ctypes.POINTER(ctypes.c_int64),       # out_max_destuffed (or NULL)
+            ctypes.c_int32,                       # n_threads
+        ]
         _lib = lib
         return lib
 
@@ -156,3 +168,43 @@ def decode_scan(
             f"native entropy decode failed: {_ERROR_NAMES.get(rc, rc)}"
         )
     return ScanResult(coefs=coefs)
+
+
+def max_destuffed_len(
+    data: bytes, starts: np.ndarray, ends: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> int:
+    """Max destuffed byte length over the restart segments (native pass)."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_int64(0)
+    rc = lib.xjpeg_pack_streams(
+        data, len(data),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts), 0, None, ctypes.byref(out),
+        n_threads if n_threads is not None else default_threads(),
+    )
+    if rc != 0:
+        raise JpegFormatError(f"native pack failed: {_ERROR_NAMES.get(rc, rc)}")
+    return int(out.value)
+
+
+def pack_streams(
+    data: bytes, starts: np.ndarray, ends: np.ndarray, mat: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> None:
+    """Destuff + 1-pad each segment into row si of ``mat`` (uint8, C-order)."""
+    lib = _load()
+    assert lib is not None
+    assert mat.dtype == np.uint8 and mat.flags.c_contiguous
+    rc = lib.xjpeg_pack_streams(
+        data, len(data),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts), mat.shape[1],
+        mat.ctypes.data_as(ctypes.c_void_p), None,
+        n_threads if n_threads is not None else default_threads(),
+    )
+    if rc != 0:
+        raise JpegFormatError(f"native pack failed: {_ERROR_NAMES.get(rc, rc)}")

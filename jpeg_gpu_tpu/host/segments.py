@@ -122,6 +122,17 @@ def _decode_tables(
     return thresh, cbase, cnt, np.ascontiguousarray(tiled)
 
 
+def _check_nw(max_destuffed_bytes: int, max_words: int) -> int:
+    """Words per segment row (+slack so refill never reads past a word)."""
+    nw = (max_destuffed_bytes + 3) // 4 + 2
+    if nw > max_words:
+        raise JpegUnsupportedError(
+            f"segment too large for device decode ({nw} words > {max_words}); "
+            "re-encode with a smaller restart interval or use host entropy"
+        )
+    return nw
+
+
 def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     """Pack a parsed JPEG into the device decoder's input layout."""
     header = parsed.header
@@ -130,45 +141,55 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     interval = header.restart_interval or header.n_mcus
     nseg = len(parsed.segments)
 
-    # Destuff + word-pack every segment, vectorised across the whole scan
-    # (a per-segment Python loop measured 65 ms for a 1080p frame -- twice
-    # the device's entire decode time).  Stuffed zeros (0xFF 0x00 inside a
-    # segment) are dropped with one boolean mask; surviving bytes scatter
-    # into a 1-padded (nseg, nw*4) byte matrix with one fancy assignment.
-    arr = np.frombuffer(parsed.data, dtype=np.uint8)
+    # Destuff + word-pack every segment.  The native C++ packer is a
+    # single pass per segment (restart-parallel across host threads); the
+    # numpy fallback vectorises across the whole scan.  Either way no
+    # per-segment Python loop: that measured 65 ms for a 1080p frame --
+    # twice the device's entire decode time.
+    from jpeg_gpu_tpu.host import entropy_native
+
     starts = np.fromiter((s for s, _ in parsed.segments), np.int64, nseg)
     ends = np.fromiter((e for _, e in parsed.segments), np.int64, nseg)
-    lens = ends - starts
-    total = int(lens.sum())
-    seg_id = np.repeat(np.arange(nseg, dtype=np.int64), lens)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(lens) - lens, lens
-    )
-    gidx = starts[seg_id] + within
-    byts = arr[gidx]
-    # A stuffed zero follows 0xFF inside the same segment.  Pairs never
-    # cross segment boundaries (0xFF before a non-zero byte is a marker,
-    # which the parser ends the span at), so within>0 guards the lookback.
-    stuffed = (byts == 0) & (within > 0)
-    stuffed[stuffed] &= arr[gidx[stuffed] - 1] == 0xFF
-    keep = ~stuffed
-    kept = byts[keep]
-    kseg = seg_id[keep]
-    counts = np.bincount(kseg, minlength=nseg)
-    kept_before = np.cumsum(counts) - counts
-    offs = np.arange(kept.size, dtype=np.int64) - np.repeat(kept_before, counts)
-
-    nw = (int(counts.max(initial=0)) + 3) // 4 + 2  # +slack: refill never
-    #   reads past a real word mid-peek
-    if nw > max_words:
-        raise JpegUnsupportedError(
-            f"segment too large for device decode ({nw} words > {max_words}); "
-            "re-encode with a smaller restart interval or use host entropy"
-        )
-
     nbatch = -(-nseg // SEGMENTS_PER_BATCH)
-    mat = np.full((nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8)
-    mat[kseg, offs] = kept
+
+    if entropy_native.available():
+        max_len = entropy_native.max_destuffed_len(parsed.data, starts, ends)
+        nw = _check_nw(max_len, max_words)
+        mat = np.full(
+            (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
+        )
+        entropy_native.pack_streams(parsed.data, starts, ends, mat[:nseg])
+    else:
+        # Stuffed zeros (0xFF 0x00 inside a segment) drop via one boolean
+        # mask; surviving bytes scatter with one fancy assignment.
+        arr = np.frombuffer(parsed.data, dtype=np.uint8)
+        lens = ends - starts
+        total = int(lens.sum())
+        seg_id = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        gidx = starts[seg_id] + within
+        byts = arr[gidx]
+        # A stuffed zero follows 0xFF inside the same segment.  Pairs never
+        # cross segment boundaries (0xFF before a non-zero byte is a marker,
+        # which the parser ends the span at), so within>0 guards the lookback.
+        stuffed = (byts == 0) & (within > 0)
+        stuffed[stuffed] &= arr[gidx[stuffed] - 1] == 0xFF
+        keep = ~stuffed
+        kept = byts[keep]
+        kseg = seg_id[keep]
+        counts = np.bincount(kseg, minlength=nseg)
+        kept_before = np.cumsum(counts) - counts
+        offs = np.arange(kept.size, dtype=np.int64) - np.repeat(
+            kept_before, counts
+        )
+        nw = _check_nw(int(counts.max(initial=0)), max_words)
+        mat = np.full(
+            (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
+        )
+        mat[kseg, offs] = kept
+
     words = mat.view(">u4").astype(np.uint32)   # (nseg_padded, nw)
     streams = np.ascontiguousarray(
         words.reshape(nbatch, SEGMENTS_PER_BATCH, nw).transpose(0, 2, 1)

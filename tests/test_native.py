@@ -72,3 +72,24 @@ def test_native_rejects_corrupt_stream():
         entropy_native.decode_scan(parse(bytes(data), validate=False))
     except JpegFormatError:
         pass
+
+
+def test_native_pack_streams_matches_numpy():
+    """The C++ destuff+pack and the numpy fallback build identical streams."""
+    from unittest import mock
+
+    from jpeg_gpu_tpu.host import entropy_native, segments
+    from jpeg_gpu_tpu.host.parser import parse
+
+    if not entropy_native.available():
+        pytest.skip("native library unavailable")
+    img = corpus.synthetic_rgb(96, 128, seed=9)
+    data = corpus.pil_jpeg(
+        img, quality=90, subsampling="4:2:0", restart_marker_blocks=1
+    )
+    parsed = parse(data)
+    plan_native = segments.build_plan(parsed)
+    with mock.patch.object(entropy_native, "available", return_value=False):
+        plan_numpy = segments.build_plan(parsed)
+    np.testing.assert_array_equal(plan_native.streams, plan_numpy.streams)
+    assert plan_native.nw == plan_numpy.nw
