@@ -121,10 +121,12 @@ def main() -> None:
     geom = tuple((c.hsamp, c.vsamp) for c in hdr.components)
     nb1 = streams_1.shape[0]  # segment batches per frame
 
+    fgeom = pipeline.fused_rgb_geometry(spec)
+
     def assemble_one(out_one):
         return edev.assemble_components(
             out_one, plan.n_segments, plan.mcus_per_segment,
-            hdr.n_mcus, hdr.nhmb, hdr.nvmb, geom,
+            hdr.n_mcus, hdr.nhmb, hdr.nvmb, geom, soa=fgeom is not None,
         )
 
     def make_full(iters):
@@ -135,7 +137,12 @@ def main() -> None:
                 out, err = edev.decode_segments_device(s, *rest)
                 per_frame = out.reshape((batch, nb1) + out.shape[1:])
                 comps = jax.vmap(assemble_one)(per_frame)
-                rgb = pipeline.decode_rgb.__wrapped__(spec, comps, qtables)
+                if fgeom is not None:
+                    rgb = pipeline.decode_rgb_soa.__wrapped__(
+                        spec, fgeom, comps, qtables
+                    )
+                else:
+                    rgb = pipeline.decode_rgb.__wrapped__(spec, comps, qtables)
                 return (
                     jnp.sum(rgb.astype(jnp.uint32)) % 997
                     + jnp.sum(err) % 13

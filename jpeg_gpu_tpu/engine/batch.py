@@ -208,6 +208,9 @@ def decode_batch_device(
         )  # (NI, ncomps, 8, 8)
         ni = corpus_plan.n_images
         b1 = corpus_plan.batches_per_image
+        from jpeg_gpu_tpu.engine.pipeline import decode_rgb_soa, fused_rgb_geometry
+
+        fgeom = fused_rgb_geometry(spec)
 
         kernel_out, err = entropy_device.decode_segments_device_multi(
             jnp.asarray(corpus_plan.streams),
@@ -225,13 +228,19 @@ def decode_batch_device(
                 hdr.nhmb,
                 hdr.nvmb,
                 geom,
+                soa=fgeom is not None,
             )
 
         comps = jax.jit(jax.vmap(assemble_one))(per_image)
-        qts = tuple(
-            qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
-        )
-        rgb = np.asarray(decode_rgb(spec, tuple(comps), qts))
+        if fgeom is not None:
+            # Per-image tables ride the fused kernel's leading grid dim.
+            qts = tuple(qtables[:, ci] for ci in range(spec.ncomps))
+            rgb = np.asarray(decode_rgb_soa(spec, fgeom, tuple(comps), qts))
+        else:
+            qts = tuple(
+                qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
+            )
+            rgb = np.asarray(decode_rgb(spec, tuple(comps), qts))
         if check_errors:
             flags = np.asarray(err).reshape(ni, -1)[
                 :, : max(corpus_plan.n_segments - 1, 0)

@@ -32,8 +32,13 @@ def entropy_decode_device(
     interpret: Optional[bool] = None,
     check_errors: bool = True,
     unroll: Optional[bool] = None,
+    soa: bool = False,
 ) -> DeviceEntropyResult:
-    """Decode the scan's restart segments on the TPU."""
+    """Decode the scan's restart segments on the TPU.
+
+    ``soa=True`` assembles parity-split coefficient planes (the fused
+    pixel kernel's layout) instead of (vb, hb, 8, 8) blocks.
+    """
     header = parsed.header
     plan = build_plan(parsed)
     comp_geometry = tuple(
@@ -54,6 +59,7 @@ def entropy_decode_device(
         header.nhmb,
         header.nvmb,
         comp_geometry,
+        soa,
     )
     if check_errors:
         # The last segment may be short (fewer MCUs); the kernel decodes
@@ -69,7 +75,10 @@ def entropy_decode_device(
     return DeviceEntropyResult(coefs=coefs, err=err)
 
 
-def _assemble(kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom):
+def _assemble(
+    kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
+    soa=False,
+):
     import functools
 
     fn = functools.partial(
@@ -80,6 +89,7 @@ def _assemble(kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom
         nhmb=nhmb,
         nvmb=nvmb,
         comp_geometry=geom,
+        soa=soa,
     )
     return jax.jit(fn)(kernel_out)
 
@@ -193,12 +203,17 @@ def decode_image_device(
     from jpeg_gpu_tpu.engine.stages import OutputStage
 
     header = parsed.header
-    result = entropy_decode_device(parsed, interpret=interpret)
     spec = pipeline.PipelineSpec.from_header(header, exact=exact, upsample=upsample)
+    stage = stage if isinstance(stage, OutputStage) else OutputStage(stage)
+    geom = pipeline.fused_rgb_geometry(spec)
+    use_fused = stage == OutputStage.RGB and geom is not None
+    result = entropy_decode_device(parsed, interpret=interpret, soa=use_fused)
     qtables = tuple(
         header.quant_for(c).values.astype(np.int32) for c in header.components
     )
-    stage = stage if isinstance(stage, OutputStage) else OutputStage(stage)
     if stage == OutputStage.QUANT:
         return result.coefs
+    if use_fused:
+        qts = tuple(jnp.asarray(q) for q in qtables)
+        return pipeline.decode_rgb_soa(spec, geom, result.coefs, qts)
     return pipeline.run(spec, stage, result.coefs, qtables)

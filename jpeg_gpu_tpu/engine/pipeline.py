@@ -129,6 +129,54 @@ def decode_rgb(spec: PipelineSpec, coefs, qtables):
     return color_ops.ycbcr_to_rgb_float(y, cb, cr)
 
 
+def fused_rgb_geometry(spec: PipelineSpec):
+    """(sx, sy) for the fused SoA RGB kernel, or None when not applicable.
+
+    The fused path covers the exact + nearest-upsample RGB decode of
+    3-component images whose chroma planes share one decimation (all six
+    standard subsampling modes).  Interpret mode (CPU backend) is excluded
+    -- the 4000-op kernel body is impractically slow to emulate; the
+    unfused XLA pipeline produces bit-identical pixels there.
+    """
+    if spec.ncomps != 3 or not spec.exact or not spec.use_pallas:
+        return None
+    if spec.upsample != "nearest":
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    (xd0, yd0), c1, c2 = spec.comp_decs
+    if (xd0, yd0) != (0, 0) or c1 != c2:
+        return None
+    sx, sy = 1 << c1[0], 1 << c1[1]
+    if sx not in (1, 2, 4) or sy not in (1, 2):
+        return None
+    return sx, sy
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def decode_rgb_soa(spec: PipelineSpec, geom, comps_soa, qtables):
+    """Fused RGB decode from parity-split SoA coefficient planes.
+
+    ``comps_soa`` is assemble_components(..., soa=True) output: luma
+    (sy, sx, 64, vbC, hbC), chroma (1, 1, 64, vbC, hbC) -- optional
+    leading batch dims.  Bit-identical to decode_rgb (asserted on real
+    hardware in ops/pixel_fused.py's self-test and tests).
+    """
+    from jpeg_gpu_tpu.ops import pixel_fused
+
+    sx, sy = geom
+    y_soa, cb_soa, cr_soa = comps_soa
+    *lead, _, _, _, vbc, hbc = cb_soa.shape
+    cb = cb_soa.reshape(*lead, 64, vbc, hbc)
+    cr = cr_soa.reshape(*lead, 64, vbc, hbc)
+    qty = qtables[0].reshape(-1, 64)
+    qtc = jnp.stack(
+        [qtables[1].reshape(-1, 64), qtables[2].reshape(-1, 64)], axis=1
+    )
+    rgb = pixel_fused.decode_rgb_fused_soa(y_soa, cb, cr, qty, qtc, sx, sy)
+    return rgb[..., : spec.height, : spec.width, :]
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def decode_dct(spec: PipelineSpec, coefs, qtables):
     """DCT stage: dequantized coefficients, int32 (cf. the dct upload mode)."""

@@ -462,8 +462,15 @@ def assemble_components(
     nhmb: int,
     nvmb: int,
     comp_geometry: Tuple[Tuple[int, int], ...],  # per comp (hsamp, vsamp)
+    soa: bool = False,
 ):
-    """XLA post-pass: kernel output -> per-component (vb, hb, 8, 8) coefs.
+    """XLA post-pass: kernel output -> per-component coefficient tensors.
+
+    Default layout is (vb, hb, 8, 8) blocks (the QUANT-stage contract).
+    With ``soa=True`` each component instead comes out as parity-split
+    coefficient planes (vs, hs, 64, nvmb, nhmb) for the fused pixel
+    kernel -- same transposes, different axis order, so it costs nothing
+    extra.
 
     Pure reshapes/transposes; the kernels already emit natural-order
     (de-zig-zagged) rows.  Block step order is the MCU-interleaved scan
@@ -486,7 +493,14 @@ def assemble_components(
         yc = x[:, off : off + nb, :]                      # (n_mcus, vs*hs, 64)
         off += nb
         yc = yc.reshape(nvmb, nhmb, vs, hs, 64)
-        yc = yc.transpose(0, 2, 1, 3, 4)                  # (nvmb, vs, nhmb, hs, 64)
-        yc = yc.reshape(nvmb * vs, nhmb * hs, 64)
-        out.append(yc.reshape(nvmb * vs, nhmb * hs, 8, 8))
+        if soa:
+            # Parity-split coefficient planes (vs, hs, 64, nvmb, nhmb):
+            # block (vs*i+pr, hs*k+pc) IS MCU (i, k) sub-block (pr, pc),
+            # so the split is just a different axis order of the same
+            # transpose -- the layout ops/pixel_fused.py consumes.
+            out.append(yc.transpose(2, 3, 4, 0, 1))
+        else:
+            yc = yc.transpose(0, 2, 1, 3, 4)              # (nvmb, vs, nhmb, hs, 64)
+            yc = yc.reshape(nvmb * vs, nhmb * hs, 64)
+            out.append(yc.reshape(nvmb * vs, nhmb * hs, 8, 8))
     return tuple(out)

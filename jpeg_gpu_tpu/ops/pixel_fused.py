@@ -1,0 +1,250 @@
+"""Fully fused Pallas pixel kernel: SoA coefficients -> packed RGB bytes.
+
+One kernel pass replaces the whole exact pixel pipeline (dequant + islow
+IDCT + nearest chroma upsample + YCbCr->RGB + byte interleave) for the
+nearest-upsample path -- the reference needs three GL passes plus FBO
+round-trips for the same span (jpeg_gpu.c:1289-1309), and the unfused XLA
+pipeline pays ~1 ms of HBM materialisation between stages at 8x1080p.
+
+Everything is elementwise on (band, hbC) int32 tiles, by layout choice:
+
+* Coefficients arrive as *parity-split coefficient planes*:
+  luma (sy, sx, 64, vbC, hbC) -- plane [pr, pc, j] holds natural-order
+  coefficient j of luma block (sy*i + pr, sx*k + pc) at tile position
+  (i, k).  Chroma is unsplit (64, vbC, hbC).  Splitting by block parity
+  aligns every luma tile with its chroma tile LANE FOR LANE, so
+* nearest chroma upsampling is *static phase selection*: luma pixel
+  (8*pr+u, 8*pc+v) of parity (pr, pc) reads chroma phase
+  ((8*pr+u)//sy, (8*pc+v)//sx) -- an index computed at trace time, never
+  a gather or a lane shuffle;
+* the RGB interleave is byte-packing arithmetic: each group of 4 pixels'
+  12 channel-bytes packs into 3 int32 words (little-endian), emitted on a
+  separate 3*sx*8/4-deep word-phase axis; XLA performs the one remaining
+  minor-axis transpose on packed words (1/4 of the sample count).
+
+Arithmetic is bit-exact islow + libjpeg integer color (same fixed-point
+ops as ops/idct_islow.py and ops/color.py); samples clamp to u8 before
+color exactly as libjpeg's pipeline stores them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpeg_gpu_tpu.ops.color import (
+    FIX_0_34414,
+    FIX_0_71414,
+    FIX_1_40200,
+    FIX_1_77200,
+    ONE_HALF,
+    SCALEBITS,
+)
+from jpeg_gpu_tpu.ops.idct_islow import CONST_BITS, PASS1_BITS, _idct8
+
+
+def _idct_block_planes(load, qfn):
+    """64 coefficient planes -> {(u, v): clipped u8-range sample planes}."""
+    x = [load(j) * qfn(j) for j in range(64)]
+    p1 = {}
+    for v in range(8):
+        outs = _idct8(
+            *[x[u * 8 + v] for u in range(8)],
+            descale_bits=CONST_BITS - PASS1_BITS,
+        )
+        for u in range(8):
+            p1[(u, v)] = outs[u]
+    y = {}
+    for u in range(8):
+        outs = _idct8(
+            *[p1[(u, v)] for v in range(8)],
+            descale_bits=CONST_BITS + PASS1_BITS + 3,
+        )
+        for v in range(8):
+            y[(u, v)] = jnp.clip(outs[v] + 128, 0, 255)
+    return y
+
+
+def _fused_rgb_kernel(
+    sx, sy,           # static: luma blocks per chroma block (h, v)
+    # scalar prefetch (per image -- grid dim 0 routes batches to tables):
+    qty_ref,          # (N, 64) int32 luma dequant
+    qtc_ref,          # (N, 2, 64) int32 chroma dequant (Cb, Cr rows)
+    # VMEM inputs:
+    y_ref,            # (1, sy, sx, 64, BAND, HBC) int32
+    cb_ref,           # (1, 64, BAND, HBC) int32
+    cr_ref,           # (1, 64, BAND, HBC) int32
+    # output:
+    out_ref,          # (1, BAND, sy, 8, WPG, HBC) int32 packed RGB words;
+    #                   WPG = 6*sx words per chroma-block lane per row
+):
+    ni = pl.program_id(0)
+    cb = _idct_block_planes(lambda j: cb_ref[0, j], lambda j: qtc_ref[ni, 0, j])
+    cr = _idct_block_planes(lambda j: cr_ref[0, j], lambda j: qtc_ref[ni, 1, j])
+
+    # Chroma color terms, once per chroma phase (reused by sx*sy pixels).
+    rterm, gterm, bterm = {}, {}, {}
+    for k in cb:
+        cbi = cb[k] - 128
+        cri = cr[k] - 128
+        rterm[k] = (FIX_1_40200 * cri + ONE_HALF) >> SCALEBITS
+        gterm[k] = (
+            -FIX_0_34414 * cbi + (-FIX_0_71414 * cri + ONE_HALF)
+        ) >> SCALEBITS
+        bterm[k] = (FIX_1_77200 * cbi + ONE_HALF) >> SCALEBITS
+
+    wpg = 6 * sx  # words per (chroma lane, pixel row): sx*8 px * 3 / 4
+
+    for pr in range(sy):
+        for pc in range(sx):
+            ys = _idct_block_planes(
+                lambda j: y_ref[0, pr, pc, j], lambda j: qty_ref[ni, j]
+            )
+            for u in range(8):
+                # Channel bytes of this pixel row, in raster order within
+                # the sx*8-pixel span this parity group covers per lane.
+                words = [None] * (2 * 3)  # 8 px * 3 ch / 4 B = 6 words
+                for v in range(8):
+                    cph = ((8 * pr + u) // sy, (8 * pc + v) // sx)
+                    yv = ys[(u, v)]
+                    r = jnp.clip(yv + rterm[cph], 0, 255)
+                    g = jnp.clip(yv + gterm[cph], 0, 255)
+                    b = jnp.clip(yv + bterm[cph], 0, 255)
+                    for ch, val in enumerate((r, g, b)):
+                        bidx = 3 * v + ch
+                        w, byte = divmod(bidx, 4)
+                        shifted = val << (8 * byte) if byte else val
+                        words[w] = shifted if words[w] is None else words[w] | shifted
+                for w in range(6):
+                    out_ref[0, :, pr, u, pc * 6 + w] = words[w]
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def decode_rgb_fused_soa(
+    y_soa: jax.Array,    # (..., sy, sx, 64, vbC, hbC) int32/int16
+    cb_soa: jax.Array,   # (..., 64, vbC, hbC)
+    cr_soa: jax.Array,   # (..., 64, vbC, hbC)
+    qty: jax.Array,      # (64,) / (8,8), or per image (..., 64) int32
+    qtc: jax.Array,      # (2, 64) / (2, 8, 8), or per image (..., 2, 64)
+    sx: int,
+    sy: int,
+    band: int = 8,
+) -> jax.Array:
+    """SoA coefficients -> (..., vbC'*sy*8, hbC*sx*8, 3) uint8 RGB.
+
+    vbC is zero-padded up to a multiple of ``band`` (band itself must be a
+    multiple of 8 -- Mosaic block-shape rule); the returned height covers
+    the padded grid, so crop to the true image height afterwards.
+    """
+    assert band % 8 == 0, band
+    *lead, _sy, _sx, sixtyfour, vbc, hbc = y_soa.shape
+    assert (_sy, _sx, sixtyfour) == (sy, sx, 64), y_soa.shape
+    n = int(np.prod(lead)) if lead else 1
+    y = y_soa.reshape(n, sy, sx, 64, vbc, hbc).astype(jnp.int32)
+    cb = cb_soa.reshape(n, 64, vbc, hbc).astype(jnp.int32)
+    cr = cr_soa.reshape(n, 64, vbc, hbc).astype(jnp.int32)
+    pad = (-vbc) % band
+    if pad:
+        y = jnp.pad(y, ((0, 0),) * 4 + ((0, pad), (0, 0)))
+        cb = jnp.pad(cb, ((0, 0),) * 2 + ((0, pad), (0, 0)))
+        cr = jnp.pad(cr, ((0, 0),) * 2 + ((0, pad), (0, 0)))
+        vbc += pad
+    qty = jnp.broadcast_to(qty.reshape(-1, 64), (n, 64)).astype(jnp.int32)
+    qtc = jnp.broadcast_to(qtc.reshape(-1, 2, 64), (n, 2, 64)).astype(jnp.int32)
+
+    wpg = 6 * sx
+    nbands = vbc // band
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, nbands),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sy, sx, 64, band, hbc),
+                lambda ni, bi, *_: (ni, 0, 0, 0, bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 64, band, hbc),
+                lambda ni, bi, *_: (ni, 0, bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 64, band, hbc),
+                lambda ni, bi, *_: (ni, 0, bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, band, sy, 8, wpg, hbc),
+            lambda ni, bi, *_: (ni, bi, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    packed = pl.pallas_call(
+        functools.partial(_fused_rgb_kernel, sx, sy),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, vbc, sy, 8, wpg, hbc), jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(qty, qtc, y, cb, cr)
+    # Word-phase axis to minor position (the only relayout, on packed
+    # words), then free reshapes + u8 view to (H, W, 3).
+    h = vbc * sy * 8
+    w = hbc * sx * 8
+    words = packed.transpose(0, 1, 2, 3, 5, 4).reshape(n, h, w * 3 // 4)
+    rgb = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(n, h, w, 3)
+    return rgb.reshape(*lead, h, w, 3) if lead else rgb[0]
+
+
+def blocks_to_soa_split(coefs: jax.Array, sx: int, sy: int) -> jax.Array:
+    """(..., vb, hb, 8, 8) luma blocks -> (..., sy, sx, 64, vb/sy, hb/sx).
+
+    Parity-split coefficient planes: plane [pr, pc, j] at tile (i, k) is
+    coefficient j of block (sy*i+pr, sx*k+pc).
+    """
+    *lead, vb, hb, _, _ = coefs.shape
+    assert vb % sy == 0 and hb % sx == 0, (vb, hb, sx, sy)
+    x = coefs.reshape(*lead, vb // sy, sy, hb // sx, sx, 64)
+    order = list(range(len(lead)))
+    a = len(lead)
+    # (..., vbC, sy, hbC, sx, 64) -> (..., sy, sx, 64, vbC, hbC)
+    return jnp.transpose(x, order + [a + 1, a + 3, a + 4, a, a + 2])
+
+
+if __name__ == "__main__":
+    # Self-test vs the unfused exact pipeline (TPU; one probe per process).
+    from jpeg_gpu_tpu.engine import pipeline
+    from jpeg_gpu_tpu.host.entropy import decode_scan
+    from jpeg_gpu_tpu.host.parser import parse
+    from jpeg_gpu_tpu.testing import corpus
+
+    for mode, sx, sy in [("4:2:0", 2, 2), ("4:4:4", 1, 1), ("4:2:2", 2, 1)]:
+        img = corpus.synthetic_rgb(128, 256, seed=3)
+        enc = corpus.own_jpeg(img, subsampling=mode, quality=85)
+        parsed = parse(enc.data)
+        hdr = parsed.header
+        res = decode_scan(parsed)
+        spec = pipeline.PipelineSpec.from_header(hdr, exact=True)
+        coefs = tuple(jnp.asarray(c) for c in res.coefs)
+        qts = tuple(
+            jnp.asarray(hdr.quant_for(c).values.astype(np.int32))
+            for c in hdr.components
+        )
+        ref = np.asarray(pipeline.decode_rgb(spec, coefs, qts))
+
+        y_soa = blocks_to_soa_split(coefs[0], sx, sy)
+        from jpeg_gpu_tpu.ops.idct_islow_pallas import blocks_to_soa
+
+        cb_soa = blocks_to_soa(coefs[1])
+        cr_soa = blocks_to_soa(coefs[2])
+        qtc = jnp.stack([qts[1].reshape(64), qts[2].reshape(64)])
+        rgb = decode_rgb_fused_soa(
+            y_soa, cb_soa, cr_soa, qts[0], qtc, sx, sy
+        )
+        got = np.asarray(rgb)[: hdr.height, : hdr.width]
+        np.testing.assert_array_equal(got, ref)
+        print(f"{mode}: fused RGB kernel bit-exact vs pipeline OK")
