@@ -49,13 +49,21 @@ def main() -> None:
 
     # exact (islow, bit-exact) path: measured fastest AND the parity target.
     spec = pipeline.PipelineSpec.from_header(hdr, exact=True)
-    coefs = tuple(
-        jnp.asarray(np.broadcast_to(c, (batch,) + c.shape).copy())
-        for c in result.coefs
-    )
     qtables = tuple(
         jnp.asarray(hdr.quant_for(c).values.astype(np.int32))
         for c in hdr.components
+    )
+    # The fused SoA pixel kernel wants parity-split coefficient planes;
+    # the native host decoder emits them directly (same stores, different
+    # addresses).  Falls back to block layout + the unfused pipeline.
+    headline_geom = pipeline.fused_rgb_geometry(spec) if use_native else None
+    if headline_geom is not None:
+        host_coefs = entropy_native.decode_scan(parsed, soa=True).coefs
+    else:
+        host_coefs = result.coefs
+    coefs = tuple(
+        jnp.asarray(np.broadcast_to(c, (batch,) + c.shape).copy())
+        for c in host_coefs
     )
 
     # Measurement methodology (hard-won on this setup):
@@ -73,9 +81,14 @@ def main() -> None:
         def chained(coefs, qtables):
             def body(_, carry):
                 c0 = coefs[0] + (carry % 3).astype(jnp.int16)
-                out = pipeline.decode_rgb.__wrapped__(
-                    spec, (c0,) + coefs[1:], qtables
-                )
+                if headline_geom is not None:
+                    out = pipeline.decode_rgb_soa.__wrapped__(
+                        spec, headline_geom, (c0,) + coefs[1:], qtables
+                    )
+                else:
+                    out = pipeline.decode_rgb.__wrapped__(
+                        spec, (c0,) + coefs[1:], qtables
+                    )
                 return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
                     jnp.uint32
                 )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
+import jax.numpy as jnp
 import numpy as np
 
 from jpeg_gpu_tpu.engine.stages import OutputStage
@@ -79,6 +80,7 @@ class Decoder:
         self.entropy = entropy
         self._parsed: Optional[ParsedJpeg] = None
         self._scan: Optional[host_entropy.ScanResult] = None
+        self._scan_soa = None
         self._scan_packed = False
 
     # -- header ------------------------------------------------------------
@@ -98,6 +100,7 @@ class Decoder:
         """Drop decoded state, keep the bitstream (cf. decode_reset)."""
         self._parsed = None
         self._scan = None
+        self._scan_soa = None
 
     # -- shared host entropy stage ------------------------------------------
     def _entropy(self, want_pack: bool = False) -> host_entropy.ScanResult:
@@ -120,6 +123,22 @@ class Decoder:
                 )
             self._scan_packed = want_pack
         return self._scan
+
+    def _entropy_soa(self):
+        """Native host entropy decode in the fused pixel kernel's SoA
+        layout (parity-split coefficient planes), or None if the native
+        library is unavailable or a python-path decode was requested."""
+        if self.entropy not in ("auto", "native"):
+            return None
+        from jpeg_gpu_tpu.host import entropy_native
+
+        if not entropy_native.available():
+            return None
+        if self._scan_soa is None:
+            self._scan_soa = entropy_native.decode_scan(
+                self._parse(), soa=True
+            ).coefs
+        return self._scan_soa
 
     def _coef_stage(self, stage: OutputStage):
         parsed = self._parse()
@@ -264,6 +283,19 @@ class TpuDecoder(Decoder):
             if stage == OutputStage.YUV:
                 return YuvOutput(planes=[np.asarray(p) for p in dev])
             return np.asarray(dev)
+        fgeom = (
+            pipeline.fused_rgb_geometry(spec)
+            if stage == OutputStage.RGB
+            else None
+        )
+        if fgeom is not None:
+            soa = self._entropy_soa()
+            if soa is not None:
+                qts = tuple(jnp.asarray(q) for q in qtables)
+                rgb = pipeline.decode_rgb_soa(
+                    spec, fgeom, tuple(jnp.asarray(c) for c in soa), qts
+                )
+                return np.asarray(rgb)
         result = self._entropy()
         coefs = tuple(np.ascontiguousarray(c) for c in result.coefs)
         dev = pipeline.run(spec, stage, coefs, qtables)

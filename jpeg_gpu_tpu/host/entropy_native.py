@@ -40,6 +40,7 @@ class _ScanConfig(ctypes.Structure):
         ("vsamp", ctypes.c_int32 * 4),
         ("dc_tbl", ctypes.c_int32 * 4),
         ("ac_tbl", ctypes.c_int32 * 4),
+        ("soa", ctypes.c_int32),
     ]
 
 
@@ -104,9 +105,14 @@ def default_threads() -> int:
 
 
 def decode_scan(
-    parsed: ParsedJpeg, n_threads: Optional[int] = None
+    parsed: ParsedJpeg, n_threads: Optional[int] = None, soa: bool = False
 ) -> ScanResult:
-    """Native scan decode -> dense per-component coefficients."""
+    """Native scan decode -> dense per-component coefficients.
+
+    ``soa=True`` writes parity-split coefficient planes
+    (vsamp, hsamp, 64, nvmb, nhmb) int16 per component -- the fused TPU
+    pixel kernel's layout -- at identical decode cost (same stores,
+    different addresses)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder unavailable")
@@ -139,9 +145,20 @@ def decode_scan(
         cfg.dc_tbl[ci] = scan.dc_tbl[ci]
         cfg.ac_tbl[ci] = scan.ac_tbl[ci]
 
-    coefs: List[np.ndarray] = [
-        np.zeros((c.vblocks, c.hblocks, 8, 8), dtype=np.int16) for c in comps
-    ]
+    cfg.soa = 1 if soa else 0
+    if soa:
+        coefs: List[np.ndarray] = [
+            np.zeros(
+                (c.vsamp, c.hsamp, 64, header.nvmb, header.nhmb),
+                dtype=np.int16,
+            )
+            for c in comps
+        ]
+    else:
+        coefs = [
+            np.zeros((c.vblocks, c.hblocks, 8, 8), dtype=np.int16)
+            for c in comps
+        ]
     out_ptrs = (ctypes.c_void_p * 4)()
     for ci, arr in enumerate(coefs):
         out_ptrs[ci] = arr.ctypes.data_as(ctypes.c_void_p).value
