@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-validate", action="store_true", help="skip bitstream validation")
     p.add_argument("--save", metavar="PNG", help="save RGB output as PNG")
+    p.add_argument(
+        "--profile", metavar="DIR",
+        help="capture a jax.profiler trace of the decode into DIR "
+        "(view with tensorboard / xprof)",
+    )
     return p
 
 
@@ -147,7 +152,16 @@ def main(argv=None) -> int:
             )
             return 0
 
-        result = dec.decode(stage)
+        if args.profile:
+            import jax
+
+            dec.decode(stage)  # warm-up so the trace holds steady state
+            dec.reset()
+            with jax.profiler.trace(args.profile):
+                result = dec.decode(stage)
+            print(f"profiler trace written to {args.profile}")
+        else:
+            result = dec.decode(stage)
         if args.dump:
             _dump(result, stage)
         elif stage == OutputStage.RGB:
