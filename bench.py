@@ -177,6 +177,70 @@ def main() -> None:
     fk1, fk2 = 5, 35
     full_s = (measure_full(fk2) - measure_full(fk1)) / (fk2 - fk1)
 
+    # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
+    def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2):
+        im = corpus.synthetic_rgb(h, w, seed=1)
+        dat = corpus.pil_jpeg(
+            im, quality=85, subsampling=subsampling, restart_marker_blocks=2
+        )
+        par = parse(dat)
+        hd = par.header
+        sp = pipeline.PipelineSpec.from_header(hd, exact=True)
+        pl = seg_mod.build_plan(par)
+        s1 = np.asarray(pl.streams)
+        st = jnp.asarray(
+            np.broadcast_to(s1, (nbatch,) + s1.shape)
+            .reshape((-1,) + s1.shape[1:]).copy()
+        )
+        rest = tuple(jnp.asarray(x) for x in pl.kernel_tables)
+        gm = tuple((c.hsamp, c.vsamp) for c in hd.components)
+        qts = tuple(
+            jnp.asarray(hd.quant_for(c).values.astype(np.int32))
+            for c in hd.components
+        )
+        fg = pipeline.fused_rgb_geometry(sp)
+        nb = s1.shape[0]
+
+        def make(iters):
+            @jax.jit
+            def chained(st, *rest):
+                def body(_, carry):
+                    s = st ^ (carry % 2).astype(jnp.int32)
+                    out, err = edev.decode_segments_device(s, *rest)
+                    pf = out.reshape((nbatch, nb) + out.shape[1:])
+                    comps = jax.vmap(
+                        lambda o: edev.assemble_components(
+                            o, pl.n_segments, pl.mcus_per_segment,
+                            hd.n_mcus, hd.nhmb, hd.nvmb, gm,
+                            soa=fg is not None,
+                        )
+                    )(pf)
+                    if fg is not None:
+                        rgb = pipeline.decode_rgb_soa.__wrapped__(sp, fg, comps, qts)
+                    else:
+                        rgb = pipeline.decode_rgb.__wrapped__(sp, comps, qts)
+                    return (
+                        jnp.sum(rgb.astype(jnp.uint32)) % 997
+                        + jnp.sum(err) % 13 + carry
+                    ).astype(jnp.int32)
+                return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+            return chained
+
+        def meas(iters):
+            fn = make(iters)
+            int(fn(st, *rest))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(fn(st, *rest))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        sec = (meas(k2) - meas(k1)) / (k2 - k1)
+        return h * w * nbatch / 1e6 / sec
+
+    mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
+
     mpix = width * height * batch / 1e6
     device_mpix_s = mpix / device_s
     host_mpix_s = (width * height / 1e6) / host_entropy_s
@@ -193,6 +257,7 @@ def main() -> None:
                     "batch": batch,
                     "device_ms_per_batch": round(device_s * 1e3, 3),
                     "full_on_device_decode_mpix_per_s": round(full_mpix_s, 1),
+                    "full_4k422_device_decode_mpix_per_s": round(mpix4k, 1),
                     "host_entropy_mpix_per_s": round(host_mpix_s, 2),
                     "host_entropy_impl": "native" if use_native else "python",
                     "backend": jax.default_backend(),
