@@ -207,10 +207,12 @@ def decode_image_device_sharded(
     boundaries over ICI. Returns (rgb, err): rgb (padH, padW, 3) sharded
     on rows over space; err (B, 8, 128) segment flags.
     """
+    from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
     from jpeg_gpu_tpu.ops import entropy_device
 
     n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom = assemble_args
     space = mesh.shape[SPACE_AXIS]
+    fg = fused_rgb_geometry(spec)
 
     def step(streams, plan_tables, qtables):
         out, err = entropy_device.decode_segments_device(
@@ -220,18 +222,39 @@ def decode_image_device_sharded(
         out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)
         err = jax.lax.all_gather(err, DATA_AXIS, axis=0, tiled=True)
         comps = entropy_device.assemble_components(
-            out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom
+            out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
+            soa=fg is not None,
         )
         # Spatial split: this chip's MCU block-row slice of every plane.
         sidx = jax.lax.axis_index(SPACE_AXIS)
-        local = []
-        for ci, c in enumerate(comps):
-            vb = c.shape[0]
-            rows = vb // space
-            local.append(
-                jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=0)
+        if fg is not None:
+            from jpeg_gpu_tpu.ops import pixel_fused
+
+            # SoA planes share the MCU-row axis (-2) across components.
+            rows = comps[0].shape[-2] // space
+            y, cb, cr = (
+                jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=-2)
+                for c in comps
             )
-        rgb = _local_decode_rgb(spec, tuple(local), qtables)
+            sx, sy = fg
+            qty = qtables[0].reshape(64)
+            qtc = jnp.stack([qtables[1].reshape(64), qtables[2].reshape(64)])
+            rgb = pixel_fused.decode_rgb_fused_soa(
+                y, cb.reshape(64, rows, -1), cr.reshape(64, rows, -1),
+                qty, qtc, sx, sy,
+            )
+            # Drop rows the kernel's internal band padding appended, so
+            # the space-axis concat of shard outputs stays aligned.
+            rgb = rgb[: rows * sy * 8]
+        else:
+            local = []
+            for ci, c in enumerate(comps):
+                vb = c.shape[0]
+                rows = vb // space
+                local.append(
+                    jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=0)
+                )
+            rgb = _local_decode_rgb(spec, tuple(local), qtables)
         return rgb, err
 
     return shard_map(
