@@ -138,6 +138,13 @@ def _entropy_kernel(
         """
         if "nofetch" in _ABLATE:
             return stream_ref[0, 0]
+        if nw <= 512 and unroll:
+            # Unrolled even at large word counts: a serial fori fetch per
+            # symbol measured ~10x slower at nw=146 (R=8 segments).
+            acc = jnp.zeros(SEG_SHAPE, jnp.int32)
+            for w in range(nw):
+                acc = jnp.where(wp == w, stream_ref[0, w], acc)
+            return acc
         if nw <= 64:
             acc = jnp.zeros(SEG_SHAPE, jnp.int32)
             for w in range(nw):
