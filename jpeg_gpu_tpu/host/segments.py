@@ -8,8 +8,8 @@ lockstep -- one segment per (sublane, lane) position.  The host's only jobs
   words, 1-padded at the tail (the bit reader contract, spec F.2.2.5),
 * lay the words out as (batches, NW, 8, 128): word w of segment
   (b*1024 + s*128 + l) at [b, w, s, l],
-* flatten Huffman tables into the kernel's thresh/cbase/counts/symbol
-  tensors (per-length threshold form -- see DeviceScanPlan).
+* flatten Huffman tables into the kernel's cbase/counts/entry tensors
+  (canonical rank form -- see DeviceScanPlan).
 
 This is the division of labour SURVEY.md section 7 prescribes: "byte
 destuffing and marker scanning are best done host-side"; everything
@@ -48,50 +48,45 @@ class DeviceScanPlan:
     dc_slot_of_step: np.ndarray  # (T,) int32 -> row into table tensors
     ac_slot_of_step: np.ndarray  # (T,) int32
     # Huffman decode tensors, one row per distinct table slot (<= 8).
-    # The kernel computes code length and symbol rank as two *independent*
-    # per-length sums (no select chain -- the canonical-code rank identity:
-    # rank(window) = sum_L clamp(topL(window) - mincode[L] + 1, 0, count[L])),
-    # so the tables are per-length thresholds rather than maxcode/valptr:
-    thresh: np.ndarray         # (n_tables, 16) int32: first code value of
-    #                            length > L, scaled to 32 bits and biased by
-    #                            ^0x80000000 for signed compare
+    # The kernel computes the symbol RANK as one sum of independent
+    # per-length terms (the canonical-code rank identity:
+    # rank(window) = sum_L clamp(topL(window) - mincode[L] + 1, 0, count[L]))
+    # and then gathers a packed (symbol, code length) entry by rank -- the
+    # code length is a property of the rank, so no threshold scan exists:
     cbase: np.ndarray          # (n_tables, 16) int32: mincode[L] - 1
     counts: np.ndarray         # (n_tables, 16) int32: codes of length L
-    symbols: np.ndarray        # (n_tables, 8, 128) int32: 256 8-bit symbols
-    #                            packed 4 per word (sym k at byte k%4 of lane
-    #                            k//4), replicated over sublanes -- one
-    #                            lane-shuffle gather + byte extract decodes
+    symbols: np.ndarray        # (n_tables, 8, 128) int32: 256 16-bit
+    #                            entries (sym | len<<8; len=31 marks an
+    #                            invalid rank), packed 2 per word (entry k
+    #                            at half k%2 of lane k//2), replicated over
+    #                            sublanes -- one lane-shuffle gather + a
+    #                            16-bit extract decodes
 
     @property
     def kernel_tables(self) -> Tuple[np.ndarray, ...]:
         """Args for decode_segments_device after the streams tensor."""
         return (
             self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
-            self.thresh, self.cbase, self.counts, self.symbols,
+            self.cbase, self.counts, self.symbols,
         )
 
 
 def _decode_tables(
     spec: HuffmanSpec,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """thresh/cbase/counts/symbol tensors for canonical decode.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cbase/counts/entry tensors for canonical rank decode.
 
-    The kernel evaluates the spec's F.2.2.3 DECODE as two independent
-    per-length sums (see ops/entropy_device.py):
+    The kernel evaluates the spec's F.2.2.3 DECODE as one sum of
+    independent per-length terms (see ops/entropy_device.py):
 
-      len(window)  = 1 + #{L : window32 >= thresh[L]}
       rank(window) = sum_L clamp(topL(window) - (mincode[L]-1), 0, count[L])
 
-    where thresh[L] is the first *unassigned* code at length L scaled to
-    the top of a 32-bit word.  Unsigned compares are done as signed ones
-    by XOR-biasing both sides with 0x80000000 (done here for thresh, in
-    the kernel for the window).  A complete code space at length L scales
-    to 2^32; it is clamped to 0xFFFFFFFF, which misclassifies only the
-    all-ones window -- an all-1-bits code, which T.81 Annex C forbids (the
-    BITS construction reserves it), so it decodes as an error flag.
+    then gathers entry[rank-1] = sym | len<<8 -- the code length is a
+    property of the rank in a canonical code, so it rides the symbol
+    lookup instead of needing its own threshold scan.  Ranks past the
+    last real code carry len=31, which the kernel flags as invalid.
     """
     counts = spec.counts.astype(np.int64)
-    thresh = np.zeros(16, dtype=np.int32)
     cbase = np.zeros(16, dtype=np.int32)
     cnt = counts.astype(np.int32)
     code = 0
@@ -99,27 +94,22 @@ def _decode_tables(
         n = int(counts[length - 1])
         cbase[length - 1] = code - 1
         code += n
-        unassigned_scaled = min(code << (32 - length), 0xFFFFFFFF)
-        thresh[length - 1] = np.int32(
-            np.uint32(unassigned_scaled) ^ np.uint32(0x80000000)
-        )
         code <<= 1
-    syms = np.zeros(256, dtype=np.uint32)
-    syms[: len(spec.symbols)] = spec.symbols
-    # Pack 4 symbols per 32-bit word: symbol k lives at byte k%4 of lane
-    # k//4 (lanes 64..127 unused).  One gather + variable shift extracts.
-    packed = np.zeros(LANES, dtype=np.uint32)
-    grouped = syms.reshape(64, 4)
-    packed[:64] = (
-        grouped[:, 0]
-        | (grouped[:, 1] << 8)
-        | (grouped[:, 2] << 16)
-        | (grouped[:, 3] << 24)
+    nsyms = len(spec.symbols)
+    lengths = np.repeat(np.arange(1, 17), spec.counts.astype(np.int64))
+    entries = np.full(256, 31 << 8, dtype=np.uint32)  # invalid marker
+    entries[:nsyms] = spec.symbols.astype(np.uint32) | (
+        lengths[:nsyms].astype(np.uint32) << 8
     )
+    # Pack 2 entries per 32-bit word: entry k lives at half k%2 of lane
+    # k//2.  One gather + a 16-bit extract decodes (sym, len) together.
+    grouped = entries.reshape(LANES, 2)
+    packed = grouped[:, 0] | (grouped[:, 1] << 16)
     tiled = np.broadcast_to(
-        packed.astype(np.int32).reshape(1, LANES), (SUBLANES, LANES)
+        packed.astype(np.int64).astype(np.uint32).view(np.int32).reshape(1, LANES),
+        (SUBLANES, LANES),
     )
-    return thresh, cbase, cnt, np.ascontiguousarray(tiled)
+    return cbase, cnt, np.ascontiguousarray(tiled)
 
 
 def _check_nw(max_destuffed_bytes: int, max_words: int) -> int:
@@ -210,18 +200,20 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
             dc_steps.append(dc)
             ac_steps.append(ac + 4)  # AC tables in slots 4..7
 
-    # Table tensors: slots 0..3 DC, 4..7 AC.  Unused slots keep thresh at
-    # INT32_MIN (every window counts every length -> ln = 17 -> flagged).
+    # Table tensors: slots 0..3 DC, 4..7 AC.  Unused slots decode every
+    # window to rank 0 -> the invalid-marker entry (len=31) -> flagged.
     n_tables = 8
-    thresh = np.full((n_tables, 16), np.iinfo(np.int32).min, dtype=np.int32)
     cbase = np.zeros((n_tables, 16), dtype=np.int32)
     counts = np.zeros((n_tables, 16), dtype=np.int32)
-    symbols = np.zeros((n_tables, SUBLANES, LANES), dtype=np.int32)
+    symbols = np.full(
+        (n_tables, SUBLANES, LANES),
+        np.int32((31 << 8) | (31 << 24)),
+        dtype=np.int32,
+    )
     for slot, spec in enumerate(list(header.dc_tables) + list(header.ac_tables)):
         if spec is None:
             continue
-        t_, b_, c_, s_ = _decode_tables(spec)
-        thresh[slot] = t_
+        b_, c_, s_ = _decode_tables(spec)
         cbase[slot] = b_
         counts[slot] = c_
         symbols[slot] = s_
@@ -235,7 +227,6 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         comp_of_step=np.asarray(comp_steps, dtype=np.int32),
         dc_slot_of_step=np.asarray(dc_steps, dtype=np.int32),
         ac_slot_of_step=np.asarray(ac_steps, dtype=np.int32),
-        thresh=thresh,
         cbase=cbase,
         counts=counts,
         symbols=symbols,
@@ -262,7 +253,6 @@ class CorpusScanPlan:
     comp_of_step: np.ndarray   # (T,) shared across the bucket
     dc_slot_of_step: np.ndarray
     ac_slot_of_step: np.ndarray
-    thresh: np.ndarray         # (NI, 8, 16) int32
     cbase: np.ndarray          # (NI, 8, 16) int32
     counts: np.ndarray         # (NI, 8, 16) int32
     symbols: np.ndarray        # (NI, 8, 8, 128) int32
@@ -273,7 +263,7 @@ class CorpusScanPlan:
         return (
             self.img_of_batch,
             self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
-            self.thresh, self.cbase, self.counts, self.symbols,
+            self.cbase, self.counts, self.symbols,
         )
 
 
@@ -324,7 +314,6 @@ def build_corpus_plan(plans: Sequence[DeviceScanPlan]) -> CorpusScanPlan:
         comp_of_step=p0.comp_of_step,
         dc_slot_of_step=p0.dc_slot_of_step,
         ac_slot_of_step=p0.ac_slot_of_step,
-        thresh=np.stack([p.thresh for p in plans]),
         cbase=np.stack([p.cbase for p in plans]),
         counts=np.stack([p.counts for p in plans]),
         symbols=np.stack([p.symbols for p in plans]),

@@ -21,11 +21,11 @@ gather):
   iteration for every still-active lane; lanes that hit EOB idle until
   the slowest lane finishes (utilization cost ~2-4x; revisit with
   symbol-lockstep + expansion kernel).
-* **Canonical-code rank decode** instead of a 64K LUT: code length and
-  symbol index are two independent 16-term sums over scalar per-length
-  tables (no select chain -- see decode_symbol), then one 256-entry
-  symbol gather (symbols packed 4-per-word: a single (8,128)
-  lane-shuffle gather plus a per-lane byte extract).
+* **Canonical-code rank decode** instead of a 64K LUT: the symbol rank
+  is one 16-term sum of independent per-length clamps (no select chain
+  -- see decode_symbol), then a single (8,128) lane-shuffle gather of a
+  packed (symbol, code-length) entry -- code length is a property of the
+  rank in a canonical code, so it needs no scan of its own.
 * **64-bit bit window per lane** in two int32 registers, MSB-aligned;
   all shifts are per-lane variable shifts (VPU-native).  Refill fetches
   one 32-bit word per lane via a masked scan over the word axis (the
@@ -101,12 +101,11 @@ def _entropy_kernel(
     comp_map_ref,    # (T,) int32: frame component of block step t
     dcslot_ref,      # (T,) int32: DC table slot (0..3)
     acslot_ref,      # (T,) int32: AC table slot (4..7)
-    thresh3_ref,     # (NI, 8, 16) int32: scaled+biased first-unassigned code
     cbase3_ref,      # (NI, 8, 16) int32: mincode - 1 per length
     counts3_ref,     # (NI, 8, 16) int32: codes per length
     # tensor inputs (VMEM):
     stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
-    symbols4_ref,    # (NI, 8, 8, 128) int32: symbol tables, 4 syms/word
+    symbols4_ref,    # (NI, 8, 8, 128) int32: (sym|len<<8) entries, 2/word
     # outputs:
     out_ref,         # (1, 1, 64, 8, 128) int16: this block step's coefs
     err_ref,         # (1, 8, 128) int32: per-segment error flags
@@ -190,29 +189,22 @@ def _entropy_kernel(
     def decode_symbol(window, slot):
         """Canonical Huffman decode from the next <=16 bits.
 
-        Returns (symbol, code_len); code_len == 17 marks an invalid code.
-        Both the code length and the symbol index are *independent*
-        per-length sums over the canonical code structure -- no select
-        chain, so the 16 length terms all issue in parallel:
+        Returns (symbol, code_len); code_len > 16 marks an invalid code.
+        The symbol RANK is one sum of independent per-length terms -- the
+        canonical-code rank identity (the number of codewords whose
+        scaled value is <= the window IS the decoded symbol's table
+        position, spec F.2.2.3 DECODE):
 
-          ln  = 1 + #{L : window >= thresh[L]}   (unsigned, bias-compared)
-          idx = sum_L clamp(topL(window) - cbase[L], 0, counts[L]) - 1
+          rank = sum_L clamp(topL(window) - cbase[L], 0, counts[L])
 
-        The second line is the canonical-code rank identity: the number
-        of codewords whose scaled value is <= the window, i.e. exactly
-        the decoded symbol's table position (spec F.2.2.3 DECODE, cf. the
-        serial LUT build in xjpeg.c:311-336).
+        and the code length is a property of the rank, so it rides the
+        entry gather (sym | len<<8) instead of its own threshold scan.
         """
         hi = window[0]
         if "nodecode" in _ABLATE:
             return (hi & 0x15) | 1, (hi & 3) + 4
-        hib = hi ^ jnp.int32(-0x80000000)
-        ln_terms = []
         idx_terms = []
         for length in range(1, 17):
-            ln_terms.append(
-                (hib >= thresh3_ref[img, slot, length - 1]).astype(jnp.int32)
-            )
             top = _lsr(hi, 32 - length)
             idx_terms.append(
                 jnp.clip(
@@ -221,15 +213,14 @@ def _entropy_kernel(
                     counts3_ref[img, slot, length - 1],
                 )
             )
-        ln = 1 + _tree_sum(ln_terms)
         idx = jnp.clip(_tree_sum(idx_terms) - 1, 0, 255)
         if "nogather" in _ABLATE:
-            return idx & 0x73, ln
-        # Symbols are packed 4 per word (segments.py): one lane gather on
-        # idx>>2, then extract byte idx&3 with a per-lane variable shift.
-        word = _gather_lanes(symbols4_ref[img, slot], _lsr(idx, 2))
-        sym = _lsr(word, (idx & 3) * 8) & 0xFF
-        return sym, ln
+            return idx & 0x73, (idx & 7) + 2
+        # Entries are packed 2 per word (segments.py): one lane gather on
+        # idx>>1, then extract half idx&1 with a per-lane variable shift.
+        word = _gather_lanes(symbols4_ref[img, slot], _lsr(idx, 1))
+        ent = _lsr(word, (idx & 1) * 16) & 0xFFFF
+        return ent & 0xFF, _lsr(ent, 8)
 
     def extract_extend(window, ln, size):
         """Amplitude bits at [ln, ln+size) of the window, EXTENDed."""
@@ -368,10 +359,9 @@ def decode_segments_device_multi(
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
-    thresh: jax.Array,        # (NI, 8, 16) int32
     cbase: jax.Array,         # (NI, 8, 16) int32
     counts: jax.Array,        # (NI, 8, 16) int32
-    symbols: jax.Array,       # (NI, 8, 8, 128) int32, 4 syms/word
+    symbols: jax.Array,       # (NI, 8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -394,7 +384,7 @@ def decode_segments_device_multi(
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=6,
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(
@@ -428,7 +418,7 @@ def decode_segments_device_multi(
         interpret=interpret,
     )(
         img_of_batch, comp_map, dcslot_map, acslot_map,
-        thresh, cbase, counts, streams, symbols,
+        cbase, counts, streams, symbols,
     )
     return coefs, err
 
@@ -438,10 +428,9 @@ def decode_segments_device(
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
-    thresh: jax.Array,        # (8, 16) int32
     cbase: jax.Array,         # (8, 16) int32
     counts: jax.Array,        # (8, 16) int32
-    symbols: jax.Array,       # (8, 8, 128) int32, 4 syms/word
+    symbols: jax.Array,       # (8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -455,7 +444,7 @@ def decode_segments_device(
         streams,
         jnp.zeros((b,), jnp.int32),
         comp_map, dcslot_map, acslot_map,
-        thresh[None], cbase[None], counts[None], symbols[None],
+        cbase[None], counts[None], symbols[None],
         interpret=interpret,
         unroll=unroll,
     )
