@@ -106,17 +106,18 @@ class Decoder:
     def _entropy(self, want_pack: bool = False) -> host_entropy.ScanResult:
         if self._scan is None or (want_pack and not self._scan_packed):
             use_native = False
-            if not want_pack:  # the pack stream is python-path only for now
-                if self.entropy == "native":
-                    use_native = True
-                elif self.entropy == "auto":
-                    from jpeg_gpu_tpu.host import entropy_native
+            if self.entropy == "native":
+                use_native = True
+            elif self.entropy == "auto":
+                from jpeg_gpu_tpu.host import entropy_native
 
-                    use_native = entropy_native.available()
+                use_native = entropy_native.available()
             if use_native:
                 from jpeg_gpu_tpu.host import entropy_native
 
-                self._scan = entropy_native.decode_scan(self._parse())
+                self._scan = entropy_native.decode_scan(
+                    self._parse(), want_pack=want_pack
+                )
             else:
                 self._scan = host_entropy.decode_scan(
                     self._parse(), want_pack=want_pack, validate=self.validate

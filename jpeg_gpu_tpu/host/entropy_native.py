@@ -77,6 +77,25 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p),      # coef_out pointers
             ctypes.c_int32,                       # n_threads
         ]
+        lib.xjpeg_decode_scan_pack.restype = ctypes.c_int32
+        lib.xjpeg_decode_scan_pack.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.POINTER(ctypes.c_int64),       # seg_starts
+            ctypes.POINTER(ctypes.c_int64),       # seg_ends
+            ctypes.c_int64,                       # nseg
+            ctypes.c_char_p,                      # huff_counts
+            ctypes.c_char_p,                      # huff_symbols
+            ctypes.c_char_p,                      # huff_present
+            ctypes.POINTER(_ScanConfig),
+            ctypes.POINTER(ctypes.c_void_p),      # coef_out pointers
+            ctypes.c_void_p,                      # pack_out u16
+            ctypes.c_void_p,                      # entry_counts i32
+            ctypes.c_void_p,                      # block_offsets i32
+            ctypes.c_int64,                       # max_entries
+            ctypes.c_int64,                       # blocks_per_seg
+            ctypes.c_int32,                       # n_threads
+        ]
         lib.xjpeg_pack_streams.restype = ctypes.c_int32
         lib.xjpeg_pack_streams.argtypes = [
             ctypes.c_char_p,                      # data
@@ -105,7 +124,10 @@ def default_threads() -> int:
 
 
 def decode_scan(
-    parsed: ParsedJpeg, n_threads: Optional[int] = None, soa: bool = False
+    parsed: ParsedJpeg,
+    n_threads: Optional[int] = None,
+    soa: bool = False,
+    want_pack: bool = False,
 ) -> ScanResult:
     """Native scan decode -> dense per-component coefficients.
 
@@ -166,6 +188,57 @@ def decode_scan(
     nseg = len(parsed.segments)
     seg_starts = (ctypes.c_int64 * nseg)(*[s for s, _ in parsed.segments])
     seg_ends = (ctypes.c_int64 * nseg)(*[e for _, e in parsed.segments])
+
+    if want_pack:
+        # One extra entry per block covers the worst case (DC + 63 AC or
+        # DC + ACs + EOB).
+        interval = header.restart_interval or header.n_mcus
+        bpm = sum(c.hsamp * c.vsamp for c in comps)
+        blocks_per_seg = interval * bpm
+        max_entries = blocks_per_seg * 65
+        pack_out = np.zeros((nseg, max_entries), dtype=np.uint16)
+        entry_counts = np.zeros(nseg, dtype=np.int32)
+        block_offsets = np.zeros((nseg, blocks_per_seg), dtype=np.int32)
+        rc = lib.xjpeg_decode_scan_pack(
+            parsed.data, len(parsed.data), seg_starts, seg_ends, nseg,
+            counts.tobytes(), symbols.tobytes(), present.tobytes(),
+            ctypes.byref(cfg), out_ptrs,
+            pack_out.ctypes.data_as(ctypes.c_void_p),
+            entry_counts.ctypes.data_as(ctypes.c_void_p),
+            block_offsets.ctypes.data_as(ctypes.c_void_p),
+            max_entries, blocks_per_seg, n_threads,
+        )
+        if rc != 0:
+            raise JpegFormatError(
+                f"native entropy decode failed: {_ERROR_NAMES.get(rc, rc)}"
+            )
+        # Stitch per-segment streams into the reference's single global
+        # stream (segments are already in scan order).
+        bases = np.cumsum(entry_counts, dtype=np.int64) - entry_counts
+        mask = (
+            np.arange(max_entries, dtype=np.int64)[None, :]
+            < entry_counts[:, None]
+        )
+        stream = pack_out[mask]
+        # Global per-block indexes: within-segment offsets + segment base,
+        # laid out per component exactly like the coefficient assembly.
+        goff = block_offsets.astype(np.int64) + bases[:, None]
+        goff = goff.reshape(nseg * interval, bpm)[: header.n_mcus]
+        pack_index = []
+        off = 0
+        for c in comps:
+            nb = c.hsamp * c.vsamp
+            blk = goff[:, off : off + nb]
+            off += nb
+            blk = blk.reshape(header.nvmb, header.nhmb, c.vsamp, c.hsamp)
+            blk = blk.transpose(0, 2, 1, 3).reshape(
+                header.nvmb * c.vsamp, header.nhmb * c.hsamp
+            )
+            pack_index.append(blk.astype(np.int32))
+        return ScanResult(
+            coefs=coefs, pack=stream.astype(np.uint16),
+            pack_index=pack_index,
+        )
 
     rc = lib.xjpeg_decode_scan(
         parsed.data,

@@ -93,3 +93,24 @@ def test_native_pack_streams_matches_numpy():
         plan_numpy = segments.build_plan(parsed)
     np.testing.assert_array_equal(plan_native.streams, plan_numpy.streams)
     assert plan_native.nw == plan_numpy.nw
+
+
+def test_native_pack_stream_matches_python():
+    """Native (run,value) pack emission is byte-identical to the python
+    reference, including per-block index arrays."""
+    from jpeg_gpu_tpu.host import entropy, entropy_native
+    from jpeg_gpu_tpu.host.parser import parse
+
+    if not entropy_native.available():
+        pytest.skip("native library unavailable")
+    for mode, kw in [("4:2:0", dict(restart_marker_blocks=2)), ("4:4:4", {})]:
+        img = corpus.synthetic_rgb(64, 96, seed=13)
+        data = corpus.pil_jpeg(img, quality=88, subsampling=mode, **kw)
+        parsed = parse(data)
+        ref = entropy.decode_scan(parsed, want_pack=True)
+        got = entropy_native.decode_scan(parsed, want_pack=True)
+        np.testing.assert_array_equal(got.pack, ref.pack)
+        for a, b in zip(got.pack_index, ref.pack_index):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(got.coefs, ref.coefs):
+            np.testing.assert_array_equal(a, b)
