@@ -54,9 +54,11 @@ def upsample_fancy_h2(plane: jax.Array, axis: int, xp=jnp) -> jax.Array:
     Bit-exact reimplementation of the classic centered 1/4-3/4 filter:
     nearer-neighbor weight 3, farther weight 1; the two output phases use
     rounding constants 1 and 2 so the pair sums preserve energy; edge
-    samples replicate.  Works on u8 sample planes (int arithmetic).
+    samples replicate.  Works on u8 sample planes (int arithmetic; int16
+    suffices -- values stay under 2^10 -- and halves the HBM traffic of
+    the full-resolution intermediates, which dominate this pass).
     """
-    x = plane.astype(xp.int32)
+    x = plane.astype(xp.int16)
     padded = _edge_pad(x, axis, xp)
     n = x.shape[axis]
 
@@ -78,8 +80,11 @@ def upsample_fancy_h2(plane: jax.Array, axis: int, xp=jnp) -> jax.Array:
 def upsample_fancy_h2v2(plane: jax.Array, xp=jnp) -> jax.Array:
     """Fancy 2x2 upsample (4:2:0): vertical triangle pass into 10-bit sums,
     then horizontal triangle pass with 16-way rounding -- the exact
-    fixed-point structure of the standard two-pass implementation."""
-    x = plane.astype(xp.int32)
+    fixed-point structure of the standard two-pass implementation.
+    Intermediates are int16 (max value 4088 < 2^15): the pass is
+    bandwidth-bound on full-resolution temporaries, so narrower is
+    faster."""
+    x = plane.astype(xp.int16)
     h, w = x.shape[-2], x.shape[-1]
     padded = _edge_pad(x, -2, xp)
 
