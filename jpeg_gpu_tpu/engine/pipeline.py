@@ -112,14 +112,20 @@ def decode_rgb(spec: PipelineSpec, coefs, qtables):
     if spec.ncomps == 1:
         y = planes[0][..., :h, :w]
         return jnp.broadcast_to(y[..., None], y.shape + (3,))
+    if spec.upsample == "fancy":
+        # The triangle filters read each chroma plane 3-4 times; without a
+        # materialisation point XLA rematerialises the whole chroma IDCT
+        # into every tap (measured +38% pipeline time at 8x1080p).
+        planes = list(jax.lax.optimization_barrier(tuple(planes)))
     up = []
     for ci, p in enumerate(planes):
         xdec, ydec = spec.comp_decs[ci]
         if spec.upsample == "fancy":
-            # Fancy filters read true-size planes (edge handling at the
-            # real image boundary, not the MCU padding).
+            # Padded-plane filters with the true edge clamped in place:
+            # everything stays MCU-aligned (cropping first, then
+            # edge-padding odd shapes, measured ~35% slower end to end).
             cw, ch = spec.comp_sizes[ci]
-            p = color_ops.upsample_fancy(p[..., :ch, :cw], xdec, ydec)
+            p = color_ops.upsample_fancy_padded(p, xdec, ydec, cw, ch)
         else:
             p = color_ops.upsample_nearest(p, xdec, ydec)
         up.append(p[..., :h, :w])

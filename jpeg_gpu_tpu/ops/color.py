@@ -153,3 +153,80 @@ def ycbcr_to_rgb_float(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     b = yf + 1.772 * cbf
     rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _row_clamped_neighbors(x, axis: int, true_n: int):
+    """(prev, next) of ``x`` along ``axis`` by slice-concat, edge-replicated
+    at index 0 and at ``true_n - 1`` (the TRUE image edge, which may sit
+    inside the MCU padding)."""
+    n = x.shape[axis]
+
+    def take(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+    if true_n < n:
+        nxt = jax.lax.dynamic_update_slice_in_dim(
+            nxt, take(true_n - 1, true_n), true_n - 1, axis=axis
+        )
+    return prev, nxt
+
+
+def upsample_fancy_h2_padded(plane: jax.Array, axis: int, true_n: int) -> jax.Array:
+    """Triangle 2x upsample along ``axis`` on the MCU-padded plane.
+
+    Same arithmetic as upsample_fancy_h2, but neighbors come from
+    slice-concats with the true edge clamped in place, so every op runs on
+    the aligned padded shape (jnp.pad on cropped odd shapes measured far
+    slower); outputs beyond 2*true_n are garbage the caller crops.
+    """
+    x = plane.astype(jnp.int16)
+    left, right = _row_clamped_neighbors(x, axis, true_n)
+    even = (3 * x + left + 1) >> 2
+    odd = (3 * x + right + 2) >> 2
+    stacked = jnp.stack([even, odd], axis=axis + 1 if axis >= 0 else plane.ndim + axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * x.shape[axis]
+    return stacked.reshape(shape).astype(plane.dtype)
+
+
+def upsample_fancy_h2v2_padded(
+    plane: jax.Array, true_h: int, true_w: int
+) -> jax.Array:
+    """Fancy 2x2 upsample on the MCU-padded plane with true-edge clamps.
+
+    Bit-identical to upsample_fancy_h2v2 over the true region; the padded
+    tail is garbage the caller crops.  Callers should place a
+    jax.lax.optimization_barrier before this (the filter reads the plane
+    several times; XLA otherwise rematerialises the producing IDCT into
+    every tap)."""
+    x = plane.astype(jnp.int16)
+    h, w = x.shape[-2], x.shape[-1]
+    above, below = _row_clamped_neighbors(x, -2, true_h)
+    sum_even = 3 * x + above
+    sum_odd = 3 * x + below
+    colsum = jnp.stack([sum_even, sum_odd], axis=-2)
+    colsum = colsum.reshape(x.shape[:-2] + (2 * h, w))
+    left, right = _row_clamped_neighbors(colsum, -1, true_w)
+    even = (3 * colsum + left + 8) >> 4
+    odd = (3 * colsum + right + 7) >> 4
+    out = jnp.stack([even, odd], axis=-1)
+    return out.reshape(x.shape[:-2] + (2 * h, 2 * w)).astype(plane.dtype)
+
+
+def upsample_fancy_padded(
+    plane: jax.Array, xdec: int, ydec: int, true_w: int, true_h: int
+) -> jax.Array:
+    """Padded-plane fancy dispatch (cf. upsample_fancy, which crops first)."""
+    if (xdec, ydec) == (0, 0):
+        return plane
+    if (xdec, ydec) == (1, 1):
+        return upsample_fancy_h2v2_padded(plane, true_h, true_w)
+    if (xdec, ydec) == (1, 0):
+        return upsample_fancy_h2_padded(plane, plane.ndim - 1, true_w)
+    if (xdec, ydec) == (0, 1):
+        return upsample_fancy_h2_padded(plane, plane.ndim - 2, true_h)
+    return upsample_nearest(plane, xdec, ydec)
