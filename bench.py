@@ -110,6 +110,46 @@ def main() -> None:
     k1, k2 = 20, 120
     device_s = (measure(k2) - measure(k1)) / (k2 - k1)
 
+    # Same config through the fancy-upsampling path (the libjpeg-turbo
+    # default pipeline -- the bit-exact parity target).
+    spec_fancy = pipeline.PipelineSpec.from_header(
+        hdr, exact=True, upsample="fancy"
+    )
+    coefs_blocks = (
+        coefs
+        if headline_geom is None
+        else tuple(
+            jnp.asarray(np.broadcast_to(c, (batch,) + c.shape).copy())
+            for c in result.coefs
+        )
+    )
+
+    def make_fancy(iters):
+        @jax.jit
+        def chained(coefs, qtables):
+            def body(_, carry):
+                c0 = coefs[0] + (carry % 3).astype(jnp.int16)
+                out = pipeline.decode_rgb.__wrapped__(
+                    spec_fancy, (c0,) + coefs[1:], qtables
+                )
+                return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
+                    jnp.uint32
+                )
+            return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
+        return chained
+
+    def measure_fancy(iters):
+        fn = make_fancy(iters)
+        int(fn(coefs_blocks, qtables))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(fn(coefs_blocks, qtables))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fancy_s = (measure_fancy(60) - measure_fancy(10)) / 50
+
     # Fully on-device decode (device entropy kernel + pixel pipeline in one
     # jit): the north-star path. Needs a restart-heavy stream.  Measured in
     # the serving shape: ``batch`` frames per step (segment batches stack on
@@ -256,6 +296,7 @@ def main() -> None:
                 "detail": {
                     "batch": batch,
                     "device_ms_per_batch": round(device_s * 1e3, 3),
+                    "fancy_parity_mpix_per_s": round(mpix / fancy_s, 1),
                     "full_on_device_decode_mpix_per_s": round(full_mpix_s, 1),
                     "full_4k422_device_decode_mpix_per_s": round(mpix4k, 1),
                     "host_entropy_mpix_per_s": round(host_mpix_s, 2),
