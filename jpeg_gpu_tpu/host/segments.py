@@ -24,8 +24,6 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from jpeg_gpu_tpu.errors import JpegUnsupportedError
-from jpeg_gpu_tpu.host.entropy import destuff
-from jpeg_gpu_tpu.host.huffman import canonical_codes
 from jpeg_gpu_tpu.host.parser import ParsedJpeg
 from jpeg_gpu_tpu.info import HuffmanSpec
 

@@ -99,7 +99,6 @@ def decode_batch_distributed(
     same geometry (one bucket); heterogeneous corpora should be bucketed
     by the caller (engine/batch.py bucketing) before distribution.
     """
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from jpeg_gpu_tpu.engine.batch import _entropy_decode

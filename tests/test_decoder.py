@@ -110,3 +110,38 @@ def test_unsupported_inputs_raise():
     Image.fromarray(img).save(buf, format="JPEG", progressive=True)
     with pytest.raises(JpegUnsupportedError):
         decode(buf.getvalue(), impl="host")
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (17, 31), (9, 200), (8, 8)])
+def test_edge_sizes_tpu_vs_host(hw):
+    """Odd and tiny dimensions decode identically through both engines
+    (partial MCUs on both axes, single-sample images)."""
+    h, w = hw
+    enc = corpus.own_jpeg(
+        corpus.synthetic_rgb(h, w, seed=1), subsampling="4:2:0", quality=85
+    )
+    a = decode(enc.data, impl="tpu")
+    b = decode(enc.data, impl="host")
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (h, w, 3)
+
+
+def test_16bit_quant_tables_tpu_vs_host():
+    enc = corpus.own_jpeg(
+        corpus.synthetic_rgb(40, 56, seed=2), subsampling="4:2:0",
+        quality=6, force_16bit_qt=True, restart_interval=2,
+    )
+    a = decode(enc.data, impl="tpu")
+    b = decode(enc.data, impl="host")
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("q", [1, 100])
+def test_extreme_quality_tpu_vs_host(q):
+    enc = corpus.own_jpeg(
+        corpus.synthetic_rgb(32, 48, seed=3), subsampling="4:2:2",
+        quality=q, restart_interval=1,
+    )
+    a = decode(enc.data, impl="tpu")
+    b = decode(enc.data, impl="host")
+    np.testing.assert_array_equal(a, b)
