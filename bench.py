@@ -150,74 +150,12 @@ def main() -> None:
 
     fancy_s = (measure_fancy(60) - measure_fancy(10)) / 50
 
-    # Fully on-device decode (device entropy kernel + pixel pipeline in one
-    # jit): the north-star path. Needs a restart-heavy stream.  Measured in
-    # the serving shape: ``batch`` frames per step (segment batches stack on
-    # the kernel's leading axis; assembly and the pixel pipeline are
-    # vmapped/batched over frames).
-    data_dri = corpus.pil_jpeg(
-        img, quality=85, subsampling="4:2:0", restart_marker_blocks=2
-    )
-    parsed_dri = parse(data_dri)
+    # Fully on-device decode (device entropy kernel + assembly + pixel
+    # pipeline in one jit): the north-star path, measured in the serving
+    # shape (``batch`` frames per step).  Needs a restart-heavy stream.
     from jpeg_gpu_tpu.host import segments as seg_mod
     from jpeg_gpu_tpu.ops import entropy_device as edev
 
-    plan = seg_mod.build_plan(parsed_dri)
-    streams_1 = np.asarray(plan.streams)
-    streams = jnp.asarray(
-        np.broadcast_to(
-            streams_1, (batch,) + streams_1.shape
-        ).reshape((-1,) + streams_1.shape[1:])
-        .copy()
-    )
-    plan_rest = tuple(jnp.asarray(x) for x in plan.kernel_tables)
-    geom = tuple((c.hsamp, c.vsamp) for c in hdr.components)
-    nb1 = streams_1.shape[0]  # segment batches per frame
-
-    fgeom = pipeline.fused_rgb_geometry(spec)
-
-    def assemble_one(out_one):
-        return edev.assemble_components(
-            out_one, plan.n_segments, plan.mcus_per_segment,
-            hdr.n_mcus, hdr.nhmb, hdr.nvmb, geom, soa=fgeom is not None,
-        )
-
-    def make_full(iters):
-        @jax.jit
-        def chained(streams, *rest):
-            def body(_, carry):
-                s = streams ^ (carry % 2).astype(jnp.int32)
-                out, err = edev.decode_segments_device(s, *rest)
-                per_frame = out.reshape((batch, nb1) + out.shape[1:])
-                comps = jax.vmap(assemble_one)(per_frame)
-                if fgeom is not None:
-                    rgb = pipeline.decode_rgb_soa.__wrapped__(
-                        spec, fgeom, comps, qtables
-                    )
-                else:
-                    rgb = pipeline.decode_rgb.__wrapped__(spec, comps, qtables)
-                return (
-                    jnp.sum(rgb.astype(jnp.uint32)) % 997
-                    + jnp.sum(err) % 13
-                    + carry
-                ).astype(jnp.int32)
-            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
-        return chained
-
-    def measure_full(iters):
-        fn = make_full(iters)
-        int(fn(streams, *plan_rest))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(fn(streams, *plan_rest))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    fk1, fk2 = 5, 35
-    full_s = (measure_full(fk2) - measure_full(fk1)) / (fk2 - fk1)
-
-    # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
     def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2):
         im = corpus.synthetic_rgb(h, w, seed=1)
         dat = corpus.pil_jpeg(
@@ -279,12 +217,13 @@ def main() -> None:
         sec = (meas(k2) - meas(k1)) / (k2 - k1)
         return h * w * nbatch / 1e6 / sec
 
+    full_mpix_s = full_decode_mpix_s(1080, 1920, "4:2:0", batch, 5, 35)
+    # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
     mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
 
     mpix = width * height * batch / 1e6
     device_mpix_s = mpix / device_s
     host_mpix_s = (width * height / 1e6) / host_entropy_s
-    full_mpix_s = mpix / full_s
 
     print(
         json.dumps(

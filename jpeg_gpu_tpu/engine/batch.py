@@ -14,6 +14,7 @@ batched (N, 1, 1, 8, 8) tensor and broadcast into the dequant multiply.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -139,6 +140,34 @@ def _decode_bucket(bucket: _Bucket, mesh) -> np.ndarray:
     return rgb
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _decode_bucket_device(spec, fgeom, meta, interpret, streams, tables, qtables):
+    """One device program per bucket: entropy kernel -> vmapped assembly
+    -> pixel pipeline, with no host round-trips or inter-program HBM
+    materialisation between stages."""
+    from jpeg_gpu_tpu.engine.pipeline import decode_rgb_soa
+    from jpeg_gpu_tpu.ops import entropy_device
+
+    ni, b1, n_segments, mps, n_mcus, nhmb, nvmb, geom = meta
+    out, err = entropy_device.decode_segments_device_multi(
+        streams, *tables, interpret=interpret
+    )
+    per_image = out.reshape((ni, b1) + out.shape[1:])
+
+    def assemble_one(one):
+        return entropy_device.assemble_components(
+            one, n_segments, mps, n_mcus, nhmb, nvmb, geom,
+            soa=fgeom is not None,
+        )
+
+    comps = jax.vmap(assemble_one)(per_image)
+    if fgeom is not None:
+        rgb = decode_rgb_soa.__wrapped__(spec, fgeom, comps, qtables)
+    else:
+        rgb = decode_rgb.__wrapped__(spec, comps, qtables)
+    return rgb, err
+
+
 def decode_batch_device(
     datas: Sequence[bytes],
     exact: bool = True,
@@ -208,39 +237,27 @@ def decode_batch_device(
         )  # (NI, ncomps, 8, 8)
         ni = corpus_plan.n_images
         b1 = corpus_plan.batches_per_image
-        from jpeg_gpu_tpu.engine.pipeline import decode_rgb_soa, fused_rgb_geometry
+        from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
 
         fgeom = fused_rgb_geometry(spec)
-
-        kernel_out, err = entropy_device.decode_segments_device_multi(
-            jnp.asarray(corpus_plan.streams),
-            *(jnp.asarray(x) for x in corpus_plan.kernel_tables),
-            interpret=interpret,
+        meta = (
+            ni, b1, corpus_plan.n_segments, corpus_plan.mcus_per_segment,
+            corpus_plan.n_mcus, hdr.nhmb, hdr.nvmb, geom,
         )
-        per_image = kernel_out.reshape((ni, b1) + kernel_out.shape[1:])
-
-        def assemble_one(one):
-            return entropy_device.assemble_components(
-                one,
-                corpus_plan.n_segments,
-                corpus_plan.mcus_per_segment,
-                corpus_plan.n_mcus,
-                hdr.nhmb,
-                hdr.nvmb,
-                geom,
-                soa=fgeom is not None,
-            )
-
-        comps = jax.jit(jax.vmap(assemble_one))(per_image)
         if fgeom is not None:
             # Per-image tables ride the fused kernel's leading grid dim.
             qts = tuple(qtables[:, ci] for ci in range(spec.ncomps))
-            rgb = np.asarray(decode_rgb_soa(spec, fgeom, tuple(comps), qts))
         else:
             qts = tuple(
                 qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
             )
-            rgb = np.asarray(decode_rgb(spec, tuple(comps), qts))
+        rgb, err = _decode_bucket_device(
+            spec, fgeom, meta, interpret,
+            jnp.asarray(corpus_plan.streams),
+            tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
+            qts,
+        )
+        rgb = np.asarray(rgb)
         if check_errors:
             flags = np.asarray(err).reshape(ni, -1)[
                 :, : max(corpus_plan.n_segments - 1, 0)

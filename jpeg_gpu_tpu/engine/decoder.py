@@ -116,7 +116,8 @@ class Decoder:
                 from jpeg_gpu_tpu.host import entropy_native
 
                 self._scan = entropy_native.decode_scan(
-                    self._parse(), want_pack=want_pack
+                    self._parse(), want_pack=want_pack,
+                    validate=self.validate,
                 )
             else:
                 self._scan = host_entropy.decode_scan(

@@ -35,6 +35,7 @@ class PipelineSpec:
     height: int
     comp_sizes: Tuple[Tuple[int, int], ...]  # per comp (width, height) in samples
     comp_decs: Tuple[Tuple[int, int], ...]   # per comp (xdec, ydec)
+    comp_samps: Optional[Tuple[Tuple[int, int], ...]] = None  # (hsamp, vsamp)
     exact: bool = True                        # islow+int color vs float fast path
     use_pallas: bool = True                   # fused Pallas kernel on the fast path
     upsample: str = "nearest"                 # "nearest" (reference semantics,
@@ -54,6 +55,7 @@ class PipelineSpec:
             height=header.height,
             comp_sizes=tuple((c.width, c.height) for c in header.components),
             comp_decs=tuple((c.xdec, c.ydec) for c in header.components),
+            comp_samps=tuple((c.hsamp, c.vsamp) for c in header.components),
             exact=exact,
             use_pallas=use_pallas,
             upsample=upsample,
@@ -155,6 +157,16 @@ def fused_rgb_geometry(spec: PipelineSpec):
         return None
     sx, sy = 1 << c1[0], 1 << c1[1]
     if sx not in (1, 2, 4) or sy not in (1, 2):
+        return None
+    # The SoA plane shapes are built from the raw sampling factors, so the
+    # kernel's layout assumption is luma (sx, sy) and chroma (1, 1) exactly
+    # -- decimations alone cannot distinguish e.g. 2x2/2x2/2x2 (all-zero
+    # decs, a legal frame) from true 4:4:4.
+    if spec.comp_samps is None:
+        return None
+    if spec.comp_samps[0] != (sx, sy):
+        return None
+    if spec.comp_samps[1] != (1, 1) or spec.comp_samps[2] != (1, 1):
         return None
     return sx, sy
 

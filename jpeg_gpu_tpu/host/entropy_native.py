@@ -128,6 +128,7 @@ def decode_scan(
     n_threads: Optional[int] = None,
     soa: bool = False,
     want_pack: bool = False,
+    validate: bool = False,
 ) -> ScanResult:
     """Native scan decode -> dense per-component coefficients.
 
@@ -142,6 +143,13 @@ def decode_scan(
     scan = header.scan
     if scan is None:
         raise JpegFormatError("no scan to decode")
+    if validate:
+        # Structural check the python decoder performs under validate=True
+        # (the C++ core reports only per-symbol ERR codes).
+        interval_v = header.restart_interval or header.n_mcus
+        expected = -(-header.n_mcus // interval_v)
+        if len(parsed.segments) > expected:
+            raise JpegFormatError("more restart segments than MCUs")
     if n_threads is None:
         n_threads = default_threads()
 

@@ -52,7 +52,12 @@ class DeviceScanPlan:
     # and then gathers a packed (symbol, code length) entry by rank -- the
     # code length is a property of the rank, so no threshold scan exists:
     cbase: np.ndarray          # (n_tables, 16) int32: mincode[L] - 1
-    counts: np.ndarray         # (n_tables, 16) int32: codes of length L
+    counts: np.ndarray         # (n_tables, 17) int32: codes of length L,
+    #                            plus the invalid-window limit in slot 16:
+    #                            the first 16-bit-scaled unassigned code,
+    #                            XOR-biased for signed compare (a window is
+    #                            an invalid codeword iff window32 >= limit,
+    #                            since the per-length bounds are monotone)
     symbols: np.ndarray        # (n_tables, 8, 128) int32: 256 16-bit
     #                            entries (sym | len<<8; len=31 marks an
     #                            invalid rank), packed 2 per word (entry k
@@ -86,13 +91,23 @@ def _decode_tables(
     """
     counts = spec.counts.astype(np.int64)
     cbase = np.zeros(16, dtype=np.int32)
-    cnt = counts.astype(np.int32)
+    cnt = np.zeros(17, dtype=np.int32)
+    cnt[:16] = counts
     code = 0
     for length in range(1, 17):
         n = int(counts[length - 1])
         cbase[length - 1] = code - 1
         code += n
+        unassigned_scaled = min(code << (32 - length), 0xFFFFFFFF)
         code <<= 1
+    # Invalid-window limit (slot 16): any window whose 32-bit value is >=
+    # the scaled first-unassigned code is beyond every codeword.  A
+    # complete 16-bit code space scales to 2^32 and clamps to 0xFFFFFFFF,
+    # which misclassifies only the all-1-bits window -- a code T.81
+    # Annex C forbids, so flagging it is correct behaviour.
+    cnt[16] = np.int32(
+        np.uint32(unassigned_scaled) ^ np.uint32(0x80000000)
+    )
     nsyms = len(spec.symbols)
     lengths = np.repeat(np.arange(1, 17), spec.counts.astype(np.int64))
     entries = np.full(256, 31 << 8, dtype=np.uint32)  # invalid marker
@@ -202,7 +217,10 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     # window to rank 0 -> the invalid-marker entry (len=31) -> flagged.
     n_tables = 8
     cbase = np.zeros((n_tables, 16), dtype=np.int32)
-    counts = np.zeros((n_tables, 16), dtype=np.int32)
+    # Slot 16 of counts holds the invalid-window limit; INT32_MIN for
+    # unused tables means every window flags as invalid.
+    counts = np.zeros((n_tables, 17), dtype=np.int32)
+    counts[:, 16] = np.iinfo(np.int32).min
     symbols = np.full(
         (n_tables, SUBLANES, LANES),
         np.int32((31 << 8) | (31 << 24)),

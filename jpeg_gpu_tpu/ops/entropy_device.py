@@ -102,7 +102,7 @@ def _entropy_kernel(
     dcslot_ref,      # (T,) int32: DC table slot (0..3)
     acslot_ref,      # (T,) int32: AC table slot (4..7)
     cbase3_ref,      # (NI, 8, 16) int32: mincode - 1 per length
-    counts3_ref,     # (NI, 8, 16) int32: codes per length
+    counts3_ref,     # (NI, 8, 17) int32: codes per length + invalid limit
     # tensor inputs (VMEM):
     stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
     symbols4_ref,    # (NI, 8, 8, 128) int32: (sym|len<<8) entries, 2/word
@@ -220,7 +220,12 @@ def _entropy_kernel(
         # idx>>1, then extract half idx&1 with a per-lane variable shift.
         word = _gather_lanes(symbols4_ref[img, slot], _lsr(idx, 1))
         ent = _lsr(word, (idx & 1) * 16) & 0xFFFF
-        return ent & 0xFF, _lsr(ent, 8)
+        # Invalid windows saturate the rank at the LAST real code, so they
+        # need their own check: beyond every codeword iff the (unsigned)
+        # window is >= the table's scaled first-unassigned code.
+        bad = (hi ^ jnp.int32(-0x80000000)) >= counts3_ref[img, slot, 16]
+        ln = jnp.where(bad, 17, _lsr(ent, 8))
+        return ent & 0xFF, ln
 
     def extract_extend(window, ln, size):
         """Amplitude bits at [ln, ln+size) of the window, EXTENDed."""
@@ -360,7 +365,7 @@ def decode_segments_device_multi(
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
     cbase: jax.Array,         # (NI, 8, 16) int32
-    counts: jax.Array,        # (NI, 8, 16) int32
+    counts: jax.Array,        # (NI, 8, 17) int32 (slot 16: invalid limit)
     symbols: jax.Array,       # (NI, 8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,
@@ -429,7 +434,7 @@ def decode_segments_device(
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
     cbase: jax.Array,         # (8, 16) int32
-    counts: jax.Array,        # (8, 16) int32
+    counts: jax.Array,        # (8, 17) int32 (slot 16: invalid limit)
     symbols: jax.Array,       # (8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,

@@ -152,31 +152,25 @@ def decode_batch_distributed(
         for ci in range(ncomps)
     )
     rgb, _ = decode_batch_sharded(spec, mesh, coefs, qtables)
-    # Each host reads back only its addressable (local) rows.
+    # Each host reads back only its addressable (local) shards; with a
+    # space axis each image arrives as row slices to reassemble.
     h, w = spec.height, spec.width
     out: List[Optional[np.ndarray]] = [None] * n_local
     base = n_local * jax.process_index()
+    rows: dict = {}
     for shard in rgb.addressable_shards:
         arr = np.asarray(shard.data)
         i0 = shard.index[0].start or 0
+        r0 = shard.index[1].start or 0
         for j in range(arr.shape[0]):
             gidx = i0 + j
             if base <= gidx < base + n_local:
-                prev = out[gidx - base]
-                img = arr[j, :h, :w]
-                out[gidx - base] = img if prev is None else prev
-    # Space-axis shards each carry a row slice; reassemble if space > 1.
-    if space > 1:
-        rows = {}
-        for shard in rgb.addressable_shards:
-            i0 = shard.index[0].start or 0
-            r0 = shard.index[1].start or 0
-            for j in range(np.asarray(shard.data).shape[0]):
-                rows.setdefault(i0 + j, {})[r0] = np.asarray(shard.data)[j]
-        for gidx, parts in rows.items():
-            if base <= gidx < base + n_local:
-                full = np.concatenate(
-                    [parts[k] for k in sorted(parts)], axis=0
-                )
-                out[gidx - base] = full[:h, :w]
+                rows.setdefault(gidx, {})[r0] = arr[j]
+    for gidx, parts in rows.items():
+        img = (
+            parts[0]
+            if len(parts) == 1
+            else np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+        )
+        out[gidx - base] = img[:h, :w]
     return out  # type: ignore[return-value]

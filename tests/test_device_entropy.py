@@ -107,3 +107,21 @@ def test_unrolled_write_position_invariant():
             k += run + 1
             assert k >= i + 1
             assert k <= 63
+
+
+def test_device_entropy_invalid_codeword_flags_error():
+    """A bit window beyond the table's last canonical code must flag
+    ERR_BAD_CODE (the rank sum saturates at the last symbol, so invalid
+    windows need the explicit limit check, not just overrun detection)."""
+    img = corpus.synthetic_gray(16, 16, seed=2)
+    enc = corpus.own_jpeg(img, quality=85, restart_interval=1)
+    parsed = parse(enc.data)
+    data = bytearray(parsed.data)
+    s0, e0 = parsed.segments[0]
+    # All-ones bits (0xFF with 0x00 stuffing) exceed every codeword of the
+    # (incomplete) standard tables.
+    patch = (b"\xff\x00" * ((e0 - s0) // 2 + 1))[: e0 - s0]
+    data[s0:e0] = patch
+    corrupted = parse(bytes(data))
+    with pytest.raises(JpegFormatError):
+        entropy_decode_device(corrupted, interpret=True)
