@@ -268,6 +268,10 @@ SAMPLING: Dict[str, Sequence[Tuple[int, int]]] = {
     "4:4:0": [(1, 2), (1, 1), (1, 1)],
     "4:1:1": [(4, 1), (1, 1), (1, 1)],
     "mono": [(1, 1)],
+    # Legal but unusual: every component 2x2 (no subsampling, 12-block
+    # MCUs).  All-zero decimations make it indistinguishable from 4:4:4 by
+    # decimation alone -- regression fixture for sampling-factor handling.
+    "4:4:4-2x2": [(2, 2), (2, 2), (2, 2)],
 }
 
 

@@ -145,3 +145,18 @@ def test_extreme_quality_tpu_vs_host(q):
     a = decode(enc.data, impl="tpu")
     b = decode(enc.data, impl="host")
     np.testing.assert_array_equal(a, b)
+
+
+def test_all_2x2_sampling_factors():
+    """A legal frame with 2x2 sampling on every component has all-zero
+    decimations (indistinguishable from 4:4:4 by decimation alone); it
+    must route through the general pipeline, not the fused SoA path."""
+    enc = corpus.own_jpeg(
+        corpus.synthetic_rgb(40, 56, seed=4), subsampling="4:4:4-2x2",
+        quality=85, restart_interval=1,
+    )
+    a = decode(enc.data, impl="tpu")
+    b = decode(enc.data, impl="host")
+    np.testing.assert_array_equal(a, b)
+    c = decode(enc.data, impl="tpu", entropy="device")
+    np.testing.assert_array_equal(c, b)
