@@ -183,6 +183,10 @@ def decode_rgb_soa(spec: PipelineSpec, geom, comps_soa, qtables):
     from jpeg_gpu_tpu.ops import pixel_fused
 
     sx, sy = geom
+    # Materialise the (possibly assembly-produced) planes before the
+    # Pallas call: letting XLA schedule the assembly transposes against
+    # the kernel's operand copies measured ~3% slower on the full path.
+    comps_soa = jax.lax.optimization_barrier(tuple(comps_soa))
     y_soa, cb_soa, cr_soa = comps_soa
     *lead, _, _, _, vbc, hbc = cb_soa.shape
     cb = cb_soa.reshape(*lead, 64, vbc, hbc)
