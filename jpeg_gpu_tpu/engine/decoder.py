@@ -237,6 +237,7 @@ class TpuDecoder(Decoder):
         exact: bool = True,
         upload: str = "coefs",
         upsample: str = "nearest",
+        on_error: str = "raise",
     ):
         super().__init__(data, validate=validate, entropy=entropy)
         self.exact = exact
@@ -244,6 +245,9 @@ class TpuDecoder(Decoder):
         if upload not in ("coefs", "pack"):
             raise ValueError(f"upload must be 'coefs' or 'pack', got {upload!r}")
         self.upload = upload
+        # "zero": salvage device-entropy decodes -- corrupt restart
+        # segments become flat gray blocks instead of failing the image.
+        self.on_error = on_error
 
     def decode(self, out: StageArg = OutputStage.RGB):
         from jpeg_gpu_tpu.engine import pipeline
@@ -254,7 +258,7 @@ class TpuDecoder(Decoder):
 
             dev = decode_image_device(
                 self._parse(), stage=stage, exact=self.exact,
-                upsample=self.upsample,
+                upsample=self.upsample, on_error=self.on_error,
             )
             if stage in (OutputStage.QUANT, OutputStage.DCT):
                 return CoefOutput(coefs=[np.asarray(c) for c in dev])

@@ -33,12 +33,21 @@ def entropy_decode_device(
     check_errors: bool = True,
     unroll: Optional[bool] = None,
     soa: bool = False,
+    on_error: str = "raise",
 ) -> DeviceEntropyResult:
     """Decode the scan's restart segments on the TPU.
 
     ``soa=True`` assembles parity-split coefficient planes (the fused
     pixel kernel's layout) instead of (vb, hb, 8, 8) blocks.
+
+    ``on_error`` makes restart segments the fault-isolation boundary the
+    format designed them to be (SURVEY.md section 5): "raise" aborts on
+    any flagged segment (the reference's behaviour, ctx->error); "zero"
+    salvages the image -- corrupt segments decode to zero coefficients
+    (flat gray blocks) while every other segment is unaffected.
     """
+    if on_error not in ("raise", "zero"):
+        raise ValueError(f"on_error must be 'raise' or 'zero', got {on_error!r}")
     header = parsed.header
     plan = build_plan(parsed)
     comp_geometry = tuple(
@@ -51,6 +60,12 @@ def entropy_decode_device(
         interpret=interpret,
         unroll=unroll,
     )
+    if on_error == "zero":
+        # Blank flagged segments: the damage stays inside the restart
+        # boundary instead of failing the whole image.
+        kernel_out = jnp.where(
+            (err != 0)[:, None, None], jnp.int16(0), kernel_out
+        )
     coefs = _assemble(
         kernel_out,
         plan.n_segments,
@@ -61,7 +76,7 @@ def entropy_decode_device(
         comp_geometry,
         soa,
     )
-    if check_errors:
+    if check_errors and on_error == "raise":
         # The last segment may be short (fewer MCUs); the kernel decodes
         # its padded tail into discarded block steps, which can raise
         # spurious flags -- so it is exempt from the check.
@@ -191,6 +206,7 @@ def decode_image_device(
     exact: bool = True,
     upsample: str = "nearest",
     interpret: Optional[bool] = None,
+    on_error: str = "raise",
 ):
     """Fully on-device decode: entropy bits in HBM -> pixels in HBM.
 
@@ -207,7 +223,9 @@ def decode_image_device(
     stage = stage if isinstance(stage, OutputStage) else OutputStage(stage)
     geom = pipeline.fused_rgb_geometry(spec)
     use_fused = stage == OutputStage.RGB and geom is not None
-    result = entropy_decode_device(parsed, interpret=interpret, soa=use_fused)
+    result = entropy_decode_device(
+        parsed, interpret=interpret, soa=use_fused, on_error=on_error
+    )
     qtables = tuple(
         header.quant_for(c).values.astype(np.int32) for c in header.components
     )

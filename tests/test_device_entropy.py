@@ -125,3 +125,25 @@ def test_device_entropy_invalid_codeword_flags_error():
     corrupted = parse(bytes(data))
     with pytest.raises(JpegFormatError):
         entropy_decode_device(corrupted, interpret=True)
+
+
+def test_device_entropy_salvage_zero():
+    """on_error='zero' keeps the damage inside the restart boundary: the
+    corrupt segment's blocks decode to zero coefficients, every other
+    segment matches the clean decode exactly."""
+    img = corpus.synthetic_gray(16, 48, seed=3)
+    enc = corpus.own_jpeg(img, quality=85, restart_interval=1)
+    parsed = parse(enc.data)
+    clean = entropy_decode_device(parsed, interpret=True)
+    data = bytearray(parsed.data)
+    s1, e1 = parsed.segments[1]  # corrupt the SECOND segment only
+    data[s1:e1] = (b"\xff\x00" * ((e1 - s1) // 2 + 1))[: e1 - s1]
+    corrupted = parse(bytes(data))
+    res = entropy_decode_device(corrupted, interpret=True, on_error="zero")
+    got = np.asarray(res.coefs[0])
+    ref = np.asarray(clean.coefs[0])
+    # Grayscale MCU = one block; segment 1 is block (0, 1) of the 2x6 grid.
+    assert (got[0, 1] == 0).all()
+    mask = np.ones(got.shape, bool)
+    mask[0, 1] = False
+    np.testing.assert_array_equal(got[mask], ref[mask])
