@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="host->device payload for host-entropy modes (default: coefs)",
     )
     p.add_argument("--no-validate", action="store_true", help="skip bitstream validation")
+    p.add_argument(
+        "--on-error", default="raise", choices=["raise", "zero"],
+        help="device-entropy error policy: abort, or salvage (corrupt "
+        "restart segments decode as flat gray)",
+    )
     p.add_argument("--save", metavar="PNG", help="save RGB output as PNG")
     p.add_argument(
         "--profile", metavar="DIR",
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         kwargs["entropy"] = args.entropy
         kwargs["upload"] = args.upload
         kwargs["upsample"] = "fancy" if args.fancy else "nearest"
+        kwargs["on_error"] = args.on_error
     elif args.impl in ("host", "xjpeg"):
         kwargs["entropy"] = args.entropy
         kwargs["upsample"] = "fancy" if args.fancy else "nearest"

@@ -140,8 +140,10 @@ def _decode_bucket(bucket: _Bucket, mesh) -> np.ndarray:
     return rgb
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _decode_bucket_device(spec, fgeom, meta, interpret, streams, tables, qtables):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _decode_bucket_device(
+    spec, fgeom, meta, interpret, salvage, streams, tables, qtables
+):
     """One device program per bucket: entropy kernel -> vmapped assembly
     -> pixel pipeline, with no host round-trips or inter-program HBM
     materialisation between stages."""
@@ -152,6 +154,8 @@ def _decode_bucket_device(spec, fgeom, meta, interpret, streams, tables, qtables
     out, err = entropy_device.decode_segments_device_multi(
         streams, *tables, interpret=interpret
     )
+    if salvage:
+        out = jnp.where((err != 0)[:, None, None], jnp.int16(0), out)
     per_image = out.reshape((ni, b1) + out.shape[1:])
 
     def assemble_one(one):
@@ -174,6 +178,7 @@ def decode_batch_device(
     upsample: str = "nearest",
     interpret: Optional[bool] = None,
     check_errors: bool = True,
+    on_error: str = "raise",
 ) -> List[np.ndarray]:
     """Fully on-device corpus decode: per-image entropy bits -> RGB.
 
@@ -252,13 +257,13 @@ def decode_batch_device(
                 qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
             )
         rgb, err = _decode_bucket_device(
-            spec, fgeom, meta, interpret,
+            spec, fgeom, meta, interpret, on_error == "zero",
             jnp.asarray(corpus_plan.streams),
             tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
             qts,
         )
         rgb = np.asarray(rgb)
-        if check_errors:
+        if check_errors and on_error == "raise":
             flags = np.asarray(err).reshape(ni, -1)[
                 :, : max(corpus_plan.n_segments - 1, 0)
             ]
