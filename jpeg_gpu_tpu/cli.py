@@ -144,7 +144,7 @@ def main(argv=None) -> int:
                 dec.reset()
                 t1 = time.perf_counter()
                 dec.decode_header()
-                dec._entropy() if args.entropy != "device" else None
+                dec.host_entropy(stage)  # the exact host work decode() uses
                 host_s += time.perf_counter() - t1
                 dec.decode(stage)
             total = time.perf_counter() - t0

@@ -265,7 +265,7 @@ def decode_batch_device(
         rgb = np.asarray(rgb)
         if check_errors and on_error == "raise":
             flags = np.asarray(err).reshape(ni, -1)[
-                :, : max(corpus_plan.n_segments - 1, 0)
+                :, : corpus_plan.n_segments
             ]
             if flags.any():
                 bad_img, bad_seg = map(int, np.argwhere(flags)[0])

@@ -138,9 +138,17 @@ class Decoder:
             return None
         if self._scan_soa is None:
             self._scan_soa = entropy_native.decode_scan(
-                self._parse(), soa=True
+                self._parse(), soa=True, validate=self.validate
             ).coefs
         return self._scan_soa
+
+    def host_entropy(self, out: StageArg = "rgb"):
+        """Run (and cache) the host entropy work that decode(out) will
+        consume -- for benchmarking the host/device time split without
+        duplicating the decode.  Returns None when decode(out) does its
+        entropy on device or in an external library."""
+        stage = _stage(out)
+        return self._entropy(want_pack=(stage == OutputStage.PACK))
 
     def _coef_stage(self, stage: OutputStage):
         parsed = self._parse()
@@ -249,6 +257,25 @@ class TpuDecoder(Decoder):
         # segments become flat gray blocks instead of failing the image.
         self.on_error = on_error
 
+    def host_entropy(self, out: StageArg = OutputStage.RGB):
+        from jpeg_gpu_tpu.engine import pipeline
+
+        stage = _stage(out)
+        if self.entropy == "device" and stage != OutputStage.PACK:
+            return None  # Huffman runs on the TPU
+        if stage == OutputStage.PACK or self.upload == "pack":
+            return self._entropy(want_pack=True)
+        if stage == OutputStage.RGB:
+            hdr = self._parse().header
+            spec = pipeline.PipelineSpec.from_header(
+                hdr, exact=self.exact, upsample=self.upsample
+            )
+            if pipeline.fused_rgb_geometry(spec) is not None:
+                soa = self._entropy_soa()
+                if soa is not None:
+                    return soa
+        return self._entropy()
+
     def decode(self, out: StageArg = OutputStage.RGB):
         from jpeg_gpu_tpu.engine import pipeline
 
@@ -316,6 +343,9 @@ class PilDecoder(Decoder):
     """Pillow/libjpeg-turbo oracle backend (pixel stages only)."""
 
     name = "pil"
+
+    def host_entropy(self, out: StageArg = "rgb"):
+        return None  # libjpeg does its own entropy work inside decode()
 
     def decode(self, out: StageArg = OutputStage.RGB):
         from jpeg_gpu_tpu.testing import oracle

@@ -9,6 +9,7 @@ path: the host ships entropy bits; the device does everything else.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -77,10 +78,9 @@ def entropy_decode_device(
         soa,
     )
     if check_errors and on_error == "raise":
-        # The last segment may be short (fewer MCUs); the kernel decodes
-        # its padded tail into discarded block steps, which can raise
-        # spurious flags -- so it is exempt from the check.
-        flags = np.asarray(err).reshape(-1)[: max(plan.n_segments - 1, 0)]
+        # Flags are exact for every segment (the kernel suppresses the
+        # spurious tail flags of a short last segment itself).
+        flags = np.asarray(err).reshape(-1)[: plan.n_segments]
         if flags.any():
             bad = int(np.flatnonzero(flags)[0])
             raise JpegFormatError(
@@ -90,14 +90,15 @@ def entropy_decode_device(
     return DeviceEntropyResult(coefs=coefs, err=err)
 
 
+@functools.partial(jax.jit, static_argnums=range(1, 8))
 def _assemble(
     kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
     soa=False,
 ):
-    import functools
-
-    fn = functools.partial(
-        entropy_device.assemble_components,
+    # Module-level jit so identical geometries hit the trace cache (a
+    # per-call functools.partial wrapper retraced every decode).
+    return entropy_device.assemble_components(
+        kernel_out,
         n_segments=n_segments,
         mcus_per_segment=mcus_per_segment,
         n_mcus=n_mcus,
@@ -106,7 +107,6 @@ def _assemble(
         comp_geometry=geom,
         soa=soa,
     )
-    return jax.jit(fn)(kernel_out)
 
 
 def expand_pack_device(
@@ -191,7 +191,7 @@ def decode_image_device_sharded(
         spec, mesh, assemble_args, jnp.asarray(streams), plan_tables, qtables
     )
     if check_errors:
-        flags = np.asarray(err).reshape(-1)[: max(plan.n_segments - 1, 0)]
+        flags = np.asarray(err).reshape(-1)[: plan.n_segments]
         if flags.any():
             bad = int(np.flatnonzero(flags)[0])
             raise JpegFormatError(

@@ -65,13 +65,30 @@ class DeviceScanPlan:
     #                            sublanes -- one lane-shuffle gather + a
     #                            16-bit extract decodes
 
+    # Last-segment geometry: (batch, lane-within-batch, real block steps)
+    # of the final (possibly short) restart segment, so the kernel can
+    # suppress the spurious flags its padded tail steps raise -- error
+    # flags are then exact for EVERY segment (corruption in the last
+    # segment is detected; valid short tails are not blanked by salvage).
+    seg_meta: np.ndarray = None  # (3,) int32
+
     @property
     def kernel_tables(self) -> Tuple[np.ndarray, ...]:
         """Args for decode_segments_device after the streams tensor."""
         return (
             self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
-            self.cbase, self.counts, self.symbols,
+            self.seg_meta, self.cbase, self.counts, self.symbols,
         )
+
+
+def _last_segment_meta(nseg: int, interval: int, n_mcus: int, bpm: int) -> np.ndarray:
+    last = nseg - 1
+    mcus_in_last = max(min(interval, n_mcus - last * interval), 0)
+    return np.asarray(
+        [last // SEGMENTS_PER_BATCH, last % SEGMENTS_PER_BATCH,
+         mcus_in_last * bpm],
+        dtype=np.int32,
+    )
 
 
 def _decode_tables(
@@ -234,6 +251,7 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         counts[slot] = c_
         symbols[slot] = s_
 
+    bpm = len(per_mcu)
     return DeviceScanPlan(
         streams=streams,
         n_segments=nseg,
@@ -243,6 +261,7 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         comp_of_step=np.asarray(comp_steps, dtype=np.int32),
         dc_slot_of_step=np.asarray(dc_steps, dtype=np.int32),
         ac_slot_of_step=np.asarray(ac_steps, dtype=np.int32),
+        seg_meta=_last_segment_meta(nseg, interval, header.n_mcus, bpm),
         cbase=cbase,
         counts=counts,
         symbols=symbols,
@@ -269,6 +288,9 @@ class CorpusScanPlan:
     comp_of_step: np.ndarray   # (T,) shared across the bucket
     dc_slot_of_step: np.ndarray
     ac_slot_of_step: np.ndarray
+    seg_meta: np.ndarray       # (NI, 3) int32: per image, the global batch
+    #                            index / lane / real step count of its last
+    #                            restart segment (tail-flag suppression)
     cbase: np.ndarray          # (NI, 8, 16) int32
     counts: np.ndarray         # (NI, 8, 16) int32
     symbols: np.ndarray        # (NI, 8, 8, 128) int32
@@ -279,7 +301,7 @@ class CorpusScanPlan:
         return (
             self.img_of_batch,
             self.comp_of_step, self.dc_slot_of_step, self.ac_slot_of_step,
-            self.cbase, self.counts, self.symbols,
+            self.seg_meta, self.cbase, self.counts, self.symbols,
         )
 
 
@@ -310,6 +332,8 @@ def build_corpus_plan(plans: Sequence[DeviceScanPlan]) -> CorpusScanPlan:
     nw = max(p.nw for p in plans)
     streams = []
     img_of_batch = []
+    seg_meta = []
+    base_b = 0
     for i, p in enumerate(plans):
         s = p.streams
         if p.nw < nw:
@@ -319,6 +343,10 @@ def build_corpus_plan(plans: Sequence[DeviceScanPlan]) -> CorpusScanPlan:
             s = np.concatenate([s, pad], axis=1)
         streams.append(s)
         img_of_batch.extend([i] * s.shape[0])
+        m = p.seg_meta.copy()
+        m[0] += base_b  # local batch index -> global stream batch index
+        seg_meta.append(m)
+        base_b += s.shape[0]
     return CorpusScanPlan(
         streams=np.concatenate(streams, axis=0),
         img_of_batch=np.asarray(img_of_batch, dtype=np.int32),
@@ -330,6 +358,7 @@ def build_corpus_plan(plans: Sequence[DeviceScanPlan]) -> CorpusScanPlan:
         comp_of_step=p0.comp_of_step,
         dc_slot_of_step=p0.dc_slot_of_step,
         ac_slot_of_step=p0.ac_slot_of_step,
+        seg_meta=np.stack(seg_meta),
         cbase=np.stack([p.cbase for p in plans]),
         counts=np.stack([p.counts for p in plans]),
         symbols=np.stack([p.symbols for p in plans]),

@@ -101,6 +101,7 @@ def _entropy_kernel(
     comp_map_ref,    # (T,) int32: frame component of block step t
     dcslot_ref,      # (T,) int32: DC table slot (0..3)
     acslot_ref,      # (T,) int32: AC table slot (4..7)
+    segmeta_ref,     # (NI, 3) int32: last segment's (batch, lane, steps)
     cbase3_ref,      # (NI, 8, 16) int32: mincode - 1 per length
     counts3_ref,     # (NI, 8, 17) int32: codes per length + invalid limit
     # tensor inputs (VMEM):
@@ -244,7 +245,9 @@ def _entropy_kernel(
     # ---- DC (uniform across lanes) ----
     window = refill(window)
     sym, ln = decode_symbol(window, dc_slot)
-    bad_dc = ln > 16
+    # A DC symbol > 15 is malformed (size field only): flag it like the
+    # host decoders do instead of clamping silently.
+    bad_dc = jnp.logical_or(ln > 16, sym > 15)
     size = jnp.minimum(sym, 15)
     diff = extract_extend(window, ln, size)
     window = consume(window, jnp.where(bad_dc, 0, ln + size))
@@ -273,6 +276,12 @@ def _entropy_kernel(
         run = _lsr(sym, 4)
         size = sym & 15
         is_eob = sym == 0
+        # size==0 is only legal as EOB (0x00) or ZRL (0xF0); anything else
+        # is a malformed symbol the host decoders reject.
+        badsym = jnp.logical_and(
+            jnp.logical_and(act, jnp.logical_not(is_eob)),
+            jnp.logical_and(size == 0, run != 15),
+        )
         val = extract_extend(window, ln, size)
         newk = k + run + 1
         over = jnp.logical_and(
@@ -296,7 +305,12 @@ def _entropy_kernel(
             act, jnp.logical_and(jnp.logical_not(is_eob), k < 63)
         )
         still = jnp.logical_and(still, jnp.logical_not(over))
-        err = err | jnp.where(bad, ERR_BAD_CODE, 0) | jnp.where(over, ERR_OVERRUN, 0)
+        still = jnp.logical_and(still, jnp.logical_not(badsym))
+        err = (
+            err
+            | jnp.where(jnp.logical_or(bad, badsym), ERR_BAD_CODE, 0)
+            | jnp.where(over, ERR_OVERRUN, 0)
+        )
         hi, lo, navail, wp = window
         carry = (hi, lo, navail, wp, k, still.astype(jnp.int32), err)
         return carry, newk, valw
@@ -351,7 +365,19 @@ def _entropy_kernel(
     hi, lo, navail, wp, _, _, err = carry
 
     out_ref[0, 0] = acc.astype(jnp.int16)
-    err_ref[0] = err
+    # The last restart segment may be short: its lane decodes padded block
+    # steps past the real data, whose flags are meaningless.  Suppress
+    # exactly those (lane == last segment, t >= its real step count) so
+    # the error flags are trustworthy for EVERY segment.
+    lane_lin = (
+        jax.lax.broadcasted_iota(jnp.int32, SEG_SHAPE, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, SEG_SHAPE, 1)
+    )
+    in_tail = jnp.logical_and(
+        pl.program_id(0) == segmeta_ref[img, 0], t >= segmeta_ref[img, 2]
+    )
+    suppress = jnp.logical_and(in_tail, lane_lin == segmeta_ref[img, 1])
+    err_ref[0] = jnp.where(suppress, err_ref[0], err)
     state_ref[0] = hi
     state_ref[1] = lo
     state_ref[2] = navail
@@ -364,6 +390,7 @@ def decode_segments_device_multi(
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
+    seg_meta: jax.Array,      # (NI, 3) int32: last segment (batch, lane, steps)
     cbase: jax.Array,         # (NI, 8, 16) int32
     counts: jax.Array,        # (NI, 8, 17) int32 (slot 16: invalid limit)
     symbols: jax.Array,       # (NI, 8, 8, 128) int32, (sym|len<<8) 2/word
@@ -389,7 +416,7 @@ def decode_segments_device_multi(
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(
@@ -422,7 +449,7 @@ def decode_segments_device_multi(
         ],
         interpret=interpret,
     )(
-        img_of_batch, comp_map, dcslot_map, acslot_map,
+        img_of_batch, comp_map, dcslot_map, acslot_map, seg_meta,
         cbase, counts, streams, symbols,
     )
     return coefs, err
@@ -433,6 +460,7 @@ def decode_segments_device(
     comp_map: jax.Array,      # (T,) int32
     dcslot_map: jax.Array,    # (T,) int32
     acslot_map: jax.Array,    # (T,) int32
+    seg_meta: jax.Array,      # (3,) int32: last segment (batch, lane, steps)
     cbase: jax.Array,         # (8, 16) int32
     counts: jax.Array,        # (8, 17) int32 (slot 16: invalid limit)
     symbols: jax.Array,       # (8, 8, 128) int32, (sym|len<<8) 2/word
@@ -448,7 +476,7 @@ def decode_segments_device(
     return decode_segments_device_multi(
         streams,
         jnp.zeros((b,), jnp.int32),
-        comp_map, dcslot_map, acslot_map,
+        comp_map, dcslot_map, acslot_map, seg_meta[None],
         cbase[None], counts[None], symbols[None],
         interpret=interpret,
         unroll=unroll,

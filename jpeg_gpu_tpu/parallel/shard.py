@@ -213,6 +213,15 @@ def decode_image_device_sharded(
     n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom = assemble_args
     space = mesh.shape[SPACE_AXIS]
     fg = fused_rgb_geometry(spec)
+    # Every component's block rows must split evenly over the space axis,
+    # or the dynamic slices would silently drop bottom MCU rows and
+    # misalign luma against chroma.
+    for hs, vs in geom:
+        if (nvmb * vs) % space:
+            raise ValueError(
+                f"MCU rows ({nvmb}, x{vs} blocks) not divisible by the "
+                f"space axis ({space}); use a smaller space axis"
+            )
 
     def step(streams, plan_tables, qtables):
         out, err = entropy_device.decode_segments_device(

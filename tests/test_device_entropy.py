@@ -147,3 +147,31 @@ def test_device_entropy_salvage_zero():
     mask = np.ones(got.shape, bool)
     mask[0, 1] = False
     np.testing.assert_array_equal(got[mask], ref[mask])
+
+
+def test_salvage_keeps_valid_short_last_segment():
+    """A valid image whose MCU count is not a multiple of the restart
+    interval must not lose its (short) last segment to salvage zeroing --
+    the kernel suppresses the padded tail's spurious flags."""
+    img = corpus.synthetic_gray(40, 56, seed=5)      # 5x7 = 35 MCUs
+    enc = corpus.own_jpeg(img, quality=85, restart_interval=2)  # last seg: 1 MCU
+    parsed = parse(enc.data)
+    clean = entropy_decode_device(parsed, interpret=True)
+    salvaged = entropy_decode_device(parsed, interpret=True, on_error="zero")
+    np.testing.assert_array_equal(
+        np.asarray(salvaged.coefs[0]), np.asarray(clean.coefs[0])
+    )
+
+
+def test_corruption_in_last_segment_detected():
+    """Errors in the final restart segment raise like any other (the old
+    blanket exemption for the last segment hid real corruption)."""
+    img = corpus.synthetic_gray(40, 56, seed=6)
+    enc = corpus.own_jpeg(img, quality=85, restart_interval=2)
+    parsed = parse(enc.data)
+    data = bytearray(parsed.data)
+    s_last, e_last = parsed.segments[-1]
+    data[s_last:e_last] = (b"\xff\x00" * ((e_last - s_last) // 2 + 1))[: e_last - s_last]
+    corrupted = parse(bytes(data))
+    with pytest.raises(JpegFormatError):
+        entropy_decode_device(corrupted, interpret=True)
