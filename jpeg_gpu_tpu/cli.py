@@ -52,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-b", "--bench", type=int, metavar="N", default=0,
         help="benchmark: decode N times, report FPS + time split",
     )
-    p.add_argument("--fast", action="store_true", help="float fast path (not bit-exact)")
+    p.add_argument(
+        "--fast", action="store_true",
+        help="float (AAN-semantics) path: IEEE-1180-accurate, not bit-exact; "
+        "note the fused exact path is also the fastest",
+    )
     p.add_argument(
         "--fancy", action="store_true",
         help="fancy (triangle) chroma upsampling: bit-exact vs libjpeg RGB",

@@ -66,30 +66,20 @@ class PipelineSpec:
         return len(self.comp_sizes)
 
 
-def _block_pixels(spec: PipelineSpec, coefs, qtable):
-    """Dequant + IDCT + level shift + clamp for one component's blocks."""
-    if spec.exact:
-        return idct_islow.dequant_idct_islow_pixels(coefs, qtable)
-    if spec.use_pallas:
-        from jpeg_gpu_tpu.ops import idct_pallas
-
-        return idct_pallas.dequant_idct_pixels_fused(coefs, qtable)
-    return idct_ops.dequant_idct_pixels(coefs, qtable)
-
-
 def _sample_planes(spec: PipelineSpec, coefs, qtables):
     """Per-component full (MCU-aligned) sample planes, uint8."""
     planes = []
     for ci in range(spec.ncomps):
+        # Both paths emit the raster plane directly: the blocks->plane u8
+        # transpose dominated the pipeline when done as a post-pass.
         if spec.exact:
-            # Emits the raster plane directly: the blocks->plane u8
-            # transpose dominated the pipeline when done as a post-pass.
             planes.append(
                 idct_islow.dequant_idct_islow_plane(coefs[ci], qtables[ci])
             )
         else:
-            blocks = _block_pixels(spec, coefs[ci], qtables[ci])
-            planes.append(idct_ops.blocks_to_plane(blocks))
+            planes.append(
+                idct_ops.dequant_idct_float_plane(coefs[ci], qtables[ci])
+            )
     return planes
 
 

@@ -77,6 +77,35 @@ def dequant_idct_pixels(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
 
+def dequant_idct_float_plane(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """Float sample path emitting the raster plane directly.
+
+    Same arithmetic as dequant_idct_pixels + blocks_to_plane, but the
+    second pass assembles per-pixel-row outputs in (vb, row, hb, col)
+    order, so the plane is a free reshape -- the standalone u8
+    blocks->plane transpose measured as most of the float path's cost
+    (same trick as ops/idct_islow.dequant_idct_islow_plane).
+    """
+    m = jnp.asarray(IDCT_BASIS)
+    *lead, vb, hb, _, _ = coefs.shape
+    deq = coefs.astype(jnp.float32) * qtable.astype(jnp.float32)
+    # Pass 1: contract v -> sample column j: (..., vb, hb, 8u, 8j).
+    y = jnp.einsum(
+        "...uv,vj->...uj", deq, m, precision=jax.lax.Precision.HIGHEST
+    )
+    # Pass 2 per pixel row i: contract u, emit rows in plane order.
+    rows = []
+    for i in range(8):
+        r = jnp.einsum(
+            "...uj,u->...j", y, m[:, i],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        r = jnp.clip(jnp.round(r + 128.0), 0.0, 255.0).astype(jnp.uint8)
+        rows.append(r)                                # (..., vb, hb, 8j)
+    out = jnp.stack(rows, axis=-3)                    # (..., vb, 8i, hb, 8j)
+    return out.reshape(*lead, vb * 8, hb * 8)
+
+
 def blocks_to_plane(blocks: jax.Array) -> jax.Array:
     """(..., vb, hb, 8, 8) block grid -> (..., vb*8, hb*8) sample plane."""
     *lead, vb, hb, _, _ = blocks.shape

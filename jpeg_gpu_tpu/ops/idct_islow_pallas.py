@@ -1,5 +1,13 @@
-"""Fused Pallas kernel: bit-exact islow dequant+IDCT in coefficient-plane
-(SoA) layout, emitting the raster sample plane.
+"""Pallas kernel: bit-exact islow dequant+IDCT in coefficient-plane (SoA)
+layout, emitting the raster sample plane.
+
+Status: REFERENCE / BENCHMARK BASELINE.  The production exact RGB path is
+the fully fused kernel in ops/pixel_fused.py (which subsumes this design
+and adds upsample+color+packing); the XLA islow (ops/idct_islow.py)
+serves the YUV stage and non-fused modes.  This standalone kernel ties
+the XLA plane path on throughput (both arithmetic-bound) and is kept as
+the minimal, self-testing demonstration of the SoA layout -- run
+`python -m jpeg_gpu_tpu.ops.idct_islow_pallas` on a TPU.
 
 TPU-first layout insight: an 8x8 block is the WRONG unit for the VPU --
 (8, 8) tiles waste 15/16 of every (8, 128) vector register and force lane

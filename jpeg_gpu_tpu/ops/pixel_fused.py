@@ -157,31 +157,44 @@ def decode_rgb_fused_soa(
     qty = jnp.broadcast_to(qty.reshape(-1, 64), (n, 64)).astype(jnp.int32)
     qtc = jnp.broadcast_to(qtc.reshape(-1, 2, 64), (n, 2, 64)).astype(jnp.int32)
 
+    # The kernel is purely lane-local (nearest upsampling is phase
+    # selection, packing is per-word), so wide images tile along the
+    # chroma-block axis too -- otherwise the ~330 live (band, hbC) tiles
+    # exceed the 16 MB VMEM scoped limit past hbC ~ 256 (observed at 8K).
+    hb_tile = hbc if hbc <= 256 else 256
+    hpad = (-hbc) % hb_tile
+    if hpad:
+        y = jnp.pad(y, ((0, 0),) * 5 + ((0, hpad),))
+        cb = jnp.pad(cb, ((0, 0),) * 3 + ((0, hpad),))
+        cr = jnp.pad(cr, ((0, 0),) * 3 + ((0, hpad),))
+        hbc += hpad
+
     wpg = 6 * sx
     nbands = vbc // band
+    nhtiles = hbc // hb_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n, nbands),
+        grid=(n, nbands, nhtiles),
         in_specs=[
             pl.BlockSpec(
-                (1, sy, sx, 64, band, hbc),
-                lambda ni, bi, *_: (ni, 0, 0, 0, bi, 0),
+                (1, sy, sx, 64, band, hb_tile),
+                lambda ni, bi, hi, *_: (ni, 0, 0, 0, bi, hi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 64, band, hbc),
-                lambda ni, bi, *_: (ni, 0, bi, 0),
+                (1, 64, band, hb_tile),
+                lambda ni, bi, hi, *_: (ni, 0, bi, hi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 64, band, hbc),
-                lambda ni, bi, *_: (ni, 0, bi, 0),
+                (1, 64, band, hb_tile),
+                lambda ni, bi, hi, *_: (ni, 0, bi, hi),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, band, sy, 8, wpg, hbc),
-            lambda ni, bi, *_: (ni, bi, 0, 0, 0, 0),
+            (1, band, sy, 8, wpg, hb_tile),
+            lambda ni, bi, hi, *_: (ni, bi, 0, 0, 0, hi),
             memory_space=pltpu.VMEM,
         ),
     )
