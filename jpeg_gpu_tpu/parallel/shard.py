@@ -141,10 +141,9 @@ def _local_decode_rgb(spec: PipelineSpec, coefs, qtables):
     planes = []
     for ci in range(spec.ncomps):
         if spec.exact:
-            pix = idct_islow.dequant_idct_islow_pixels(coefs[ci], qtables[ci])
+            plane = idct_islow.dequant_idct_islow_plane(coefs[ci], qtables[ci])
         else:
-            pix = idct_ops.dequant_idct_pixels(coefs[ci], qtables[ci])
-        plane = idct_ops.blocks_to_plane(pix)
+            plane = idct_ops.dequant_idct_float_plane(coefs[ci], qtables[ci])
         planes.append(_upsample_sharded(plane, spec, ci, SPACE_AXIS))
     if spec.ncomps == 1:
         y = planes[0]
