@@ -16,7 +16,17 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def _stage(msg, _t0=[None]):
+    """Progress timestamps on stderr (stdout stays one JSON line)."""
+    import time as _time
+
+    if _t0[0] is None:
+        _t0[0] = _time.perf_counter()
+    print(f"[bench +{_time.perf_counter() - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -24,8 +34,20 @@ TARGET_MPIX_PER_CHIP = 125.0  # 2 GPix/s / 16 chips (BASELINE.json)
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the big Pallas programs (the 4-way
+    # interleaved entropy kernel especially) cost minutes of XLA time per
+    # geometry; cached executables make repeat bench runs start fast.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the cache config: just compile
 
     from jpeg_gpu_tpu.engine import pipeline
     from jpeg_gpu_tpu.host.entropy import decode_scan
@@ -76,38 +98,39 @@ def main() -> None:
     #  * Throughput = slope between two chain lengths, which cancels the
     #    fixed dispatch latency (analogous to the reference timing around
     #    glFinish, jpeg_gpu.c:1439, but latency-corrected).
-    def make_chained(iters):
-        @jax.jit
-        def chained(coefs, qtables):
-            def body(_, carry):
-                c0 = coefs[0] + (carry % 3).astype(jnp.int16)
-                if headline_geom is not None:
-                    out = pipeline.decode_rgb_soa.__wrapped__(
-                        spec, headline_geom, (c0,) + coefs[1:], qtables
-                    )
-                else:
-                    out = pipeline.decode_rgb.__wrapped__(
-                        spec, (c0,) + coefs[1:], qtables
-                    )
-                return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
-                    jnp.uint32
+    # The iteration count is a TRACED argument (fori_loop lowers to a
+    # while loop), so one compile serves both chain lengths of the slope
+    # measurement -- the compiles, not the runs, dominate bench wall time.
+    @jax.jit
+    def chained(iters, coefs, qtables):
+        def body(_, carry):
+            c0 = coefs[0] + (carry % 3).astype(jnp.int16)
+            if headline_geom is not None:
+                out = pipeline.decode_rgb_soa.__wrapped__(
+                    spec, headline_geom, (c0,) + coefs[1:], qtables
                 )
+            else:
+                out = pipeline.decode_rgb.__wrapped__(
+                    spec, (c0,) + coefs[1:], qtables
+                )
+            return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
+                jnp.uint32
+            )
 
-            return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
-
-        return chained
+        return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
     def measure(iters):
-        fn = make_chained(iters)
-        int(fn(coefs, qtables))  # warm up / compile
+        it = jnp.int32(iters)
+        int(chained(it, coefs, qtables))  # warm up / compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            int(fn(coefs, qtables))
+            int(chained(it, coefs, qtables))
             best = min(best, time.perf_counter() - t0)
         return best
 
     k1, k2 = 20, 120
+    _stage("headline: compile + measure")
     device_s = (measure(k2) - measure(k1)) / (k2 - k1)
 
     # Same config through the fancy-upsampling path (the libjpeg-turbo
@@ -124,30 +147,29 @@ def main() -> None:
         )
     )
 
-    def make_fancy(iters):
-        @jax.jit
-        def chained(coefs, qtables):
-            def body(_, carry):
-                c0 = coefs[0] + (carry % 3).astype(jnp.int16)
-                out = pipeline.decode_rgb.__wrapped__(
-                    spec_fancy, (c0,) + coefs[1:], qtables
-                )
-                return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
-                    jnp.uint32
-                )
-            return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
-        return chained
+    @jax.jit
+    def chained_fancy(iters, coefs, qtables):
+        def body(_, carry):
+            c0 = coefs[0] + (carry % 3).astype(jnp.int16)
+            out = pipeline.decode_rgb.__wrapped__(
+                spec_fancy, (c0,) + coefs[1:], qtables
+            )
+            return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
+                jnp.uint32
+            )
+        return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
     def measure_fancy(iters):
-        fn = make_fancy(iters)
-        int(fn(coefs_blocks, qtables))
+        it = jnp.int32(iters)
+        int(chained_fancy(it, coefs_blocks, qtables))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            int(fn(coefs_blocks, qtables))
+            int(chained_fancy(it, coefs_blocks, qtables))
             best = min(best, time.perf_counter() - t0)
         return best
 
+    _stage("fancy parity: compile + measure")
     fancy_s = (measure_fancy(60) - measure_fancy(10)) / 50
 
     # Fully on-device decode (device entropy kernel + assembly + pixel
@@ -179,47 +201,48 @@ def main() -> None:
         fg = pipeline.fused_rgb_geometry(sp)
         nb = s1.shape[0]
 
-        def make(iters):
-            @jax.jit
-            def chained(st, *rest):
-                def body(_, carry):
-                    s = st ^ (carry % 2).astype(jnp.int32)
-                    out, err = edev.decode_segments_device(s, *rest)
-                    pf = out.reshape((nbatch, nb) + out.shape[1:])
-                    comps = jax.vmap(
-                        lambda o: edev.assemble_components(
-                            o, pl.n_segments, pl.mcus_per_segment,
-                            hd.n_mcus, hd.nhmb, hd.nvmb, gm,
-                            soa=fg is not None,
-                        )
-                    )(pf)
-                    if fg is not None:
-                        rgb = pipeline.decode_rgb_soa.__wrapped__(sp, fg, comps, qts)
-                    else:
-                        rgb = pipeline.decode_rgb.__wrapped__(sp, comps, qts)
-                    return (
-                        jnp.sum(rgb.astype(jnp.uint32)) % 997
-                        + jnp.sum(err) % 13 + carry
-                    ).astype(jnp.int32)
-                return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
-            return chained
+        @jax.jit
+        def chained_full(iters, st, *rest):
+            def body(_, carry):
+                s = st ^ (carry % 2).astype(jnp.int32)
+                out, err = edev.decode_segments_device(s, *rest)
+                pf = out.reshape((nbatch, nb) + out.shape[1:])
+                comps = jax.vmap(
+                    lambda o: edev.assemble_components(
+                        o, pl.n_segments, pl.mcus_per_segment,
+                        hd.n_mcus, hd.nhmb, hd.nvmb, gm,
+                        soa=fg is not None,
+                    )
+                )(pf)
+                if fg is not None:
+                    rgb = pipeline.decode_rgb_soa.__wrapped__(sp, fg, comps, qts)
+                else:
+                    rgb = pipeline.decode_rgb.__wrapped__(sp, comps, qts)
+                return (
+                    jnp.sum(rgb.astype(jnp.uint32)) % 997
+                    + jnp.sum(err) % 13 + carry
+                ).astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
         def meas(iters):
-            fn = make(iters)
-            int(fn(st, *rest))
+            it = jnp.int32(iters)
+            int(chained_full(it, st, *rest))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                int(fn(st, *rest))
+                int(chained_full(it, st, *rest))
                 best = min(best, time.perf_counter() - t0)
             return best
 
         sec = (meas(k2) - meas(k1)) / (k2 - k1)
         return h * w * nbatch / 1e6 / sec
 
+    _stage("full on-device 1080p: compile + measure")
     full_mpix_s = full_decode_mpix_s(1080, 1920, "4:2:0", batch, 5, 35)
     # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
+    _stage("full on-device 4K 4:2:2: compile + measure")
     mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
+    _stage("done")
 
     mpix = width * height * batch / 1e6
     device_mpix_s = mpix / device_s

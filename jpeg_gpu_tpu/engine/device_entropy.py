@@ -35,6 +35,7 @@ def entropy_decode_device(
     unroll: Optional[bool] = None,
     soa: bool = False,
     on_error: str = "raise",
+    interleave: Optional[int] = None,
 ) -> DeviceEntropyResult:
     """Decode the scan's restart segments on the TPU.
 
@@ -60,6 +61,7 @@ def entropy_decode_device(
         *(jnp.asarray(x) for x in plan.kernel_tables),
         interpret=interpret,
         unroll=unroll,
+        interleave=interleave,
     )
     if on_error == "zero":
         # Blank flagged segments: the damage stays inside the restart

@@ -95,6 +95,7 @@ def _gather_lanes(tile, idx):
 def _entropy_kernel(
     # bound statically via functools.partial:
     unroll,          # bool: unrolled AC loop (compiled) vs fori (interpret)
+    interleave,      # int: segment batches decoded per grid step (see below)
     # scalar prefetch (SMEM):
     imgmap_ref,      # (B,) int32: image index of segment batch b (tables
     #                  are per image -- corpus batches mix Huffman tables)
@@ -105,29 +106,54 @@ def _entropy_kernel(
     cbase3_ref,      # (NI, 8, 16) int32: mincode - 1 per length
     counts3_ref,     # (NI, 8, 17) int32: codes per length + invalid limit
     # tensor inputs (VMEM):
-    stream_ref,      # (1, NW, 8, 128) int32: this batch's word streams
+    stream_ref,      # (U, NW, 8, 128) int32: this step's word streams
     symbols4_ref,    # (NI, 8, 8, 128) int32: (sym|len<<8) entries, 2/word
     # outputs:
-    out_ref,         # (1, 1, 64, 8, 128) int16: this block step's coefs
-    err_ref,         # (1, 8, 128) int32: per-segment error flags
+    out_ref,         # (U, 1, 64, 8, 128) int16: this block step's coefs
+    err_ref,         # (U, 8, 128) int32: per-segment error flags
     # scratch:
-    state_ref,       # (8, 8, 128) int32: hi, lo, navail, wp, dc0..dc3
+    state_ref,       # (U, 8, 8, 128) int32: hi, lo, navail, wp, dc0..dc3
 ):
     t = pl.program_id(1)
     nw = stream_ref.shape[1]
-    img = imgmap_ref[pl.program_id(0)]
-    # This image's tables, read with full dynamic indices each time
-    # (Mosaic rejects .at[] sub-ref views whose minor dims break tiling).
 
     @pl.when(t == 0)
     def _init():
-        state_ref[:] = jnp.zeros((8,) + SEG_SHAPE, jnp.int32)
-        err_ref[0] = jnp.zeros(SEG_SHAPE, jnp.int32)
+        state_ref[:] = jnp.zeros((interleave, 8) + SEG_SHAPE, jnp.int32)
+        err_ref[:] = jnp.zeros((interleave,) + SEG_SHAPE, jnp.int32)
 
-    hi = state_ref[0]
-    lo = state_ref[1]
-    navail = state_ref[2]
-    wp = state_ref[3]
+    # U independent segment batches decode per grid step.  All 1024 lanes
+    # of ONE batch advance in lockstep, so a single batch is one serial
+    # dependency chain (rank -> gather -> consume -> rank...) and the
+    # kernel is latency-bound, not throughput-bound -- measured: ablating
+    # the accumulate makes it *slower*, and one lane gather costs ~50
+    # cycles of chain latency against ~7 ops of issue width.  Tracing U
+    # batches side by side gives the scheduler U independent chains to
+    # interleave into the latency bubbles.
+    for u in range(interleave):
+        _decode_tile(
+            unroll, interleave, u, t, nw,
+            imgmap_ref, comp_map_ref, dcslot_ref, acslot_ref, segmeta_ref,
+            cbase3_ref, counts3_ref, stream_ref, symbols4_ref,
+            out_ref, err_ref, state_ref,
+        )
+
+
+def _decode_tile(
+    unroll, interleave, u, t, nw,
+    imgmap_ref, comp_map_ref, dcslot_ref, acslot_ref, segmeta_ref,
+    cbase3_ref, counts3_ref, stream_ref, symbols4_ref,
+    out_ref, err_ref, state_ref,
+):
+    """Decode one (8, 128)-segment batch's block step t (sub-batch u)."""
+    img = imgmap_ref[pl.program_id(0) * interleave + u]
+    # This image's tables, read with full dynamic indices each time
+    # (Mosaic rejects .at[] sub-ref views whose minor dims break tiling).
+
+    hi = state_ref[u, 0]
+    lo = state_ref[u, 1]
+    navail = state_ref[u, 2]
+    wp = state_ref[u, 3]
 
     def fetch_word(wp):
         """Per-lane word gather: word[s,l] = stream[wp[s,l], s, l].
@@ -137,22 +163,22 @@ def _entropy_kernel(
         (no loop/branch overhead in the hot path).
         """
         if "nofetch" in _ABLATE:
-            return stream_ref[0, 0]
+            return stream_ref[u, 0]
         if nw <= 512 and unroll:
             # Unrolled even at large word counts: a serial fori fetch per
             # symbol measured ~10x slower at nw=146 (R=8 segments).
             acc = jnp.zeros(SEG_SHAPE, jnp.int32)
             for w in range(nw):
-                acc = jnp.where(wp == w, stream_ref[0, w], acc)
+                acc = jnp.where(wp == w, stream_ref[u, w], acc)
             return acc
         if nw <= 64:
             acc = jnp.zeros(SEG_SHAPE, jnp.int32)
             for w in range(nw):
-                acc = jnp.where(wp == w, stream_ref[0, w], acc)
+                acc = jnp.where(wp == w, stream_ref[u, w], acc)
             return acc
 
         def body(w, acc):
-            return jnp.where(wp == w, stream_ref[0, w], acc)
+            return jnp.where(wp == w, stream_ref[u, w], acc)
         return jax.lax.fori_loop(0, nw, body, jnp.zeros(SEG_SHAPE, jnp.int32))
 
     def refill(window):
@@ -251,13 +277,13 @@ def _entropy_kernel(
     size = jnp.minimum(sym, 15)
     diff = extract_extend(window, ln, size)
     window = consume(window, jnp.where(bad_dc, 0, ln + size))
-    dc = state_ref[4 + comp] + jnp.where(bad_dc, 0, diff)
-    state_ref[4 + comp] = dc
+    dc = state_ref[u, 4 + comp] + jnp.where(bad_dc, 0, diff)
+    state_ref[u, 4 + comp] = dc
 
     # The accumulator rows stay int32: Mosaic rejects i16 compares
     # outright, and an i16 select/add after an i32 compare measured
     # *slower* than pure i32 (mask relayout dominates any packing win).
-    err = err_ref[0] | jnp.where(bad_dc, ERR_BAD_CODE, 0)
+    err = err_ref[u] | jnp.where(bad_dc, ERR_BAD_CODE, 0)
 
     # ---- AC loop: one symbol per iteration for every active lane ----
     # Per-lane active masks: finished lanes do masked no-ops.  Deliberately
@@ -364,7 +390,7 @@ def _entropy_kernel(
 
     hi, lo, navail, wp, _, _, err = carry
 
-    out_ref[0, 0] = acc.astype(jnp.int16)
+    out_ref[u, 0] = acc.astype(jnp.int16)
     # The last restart segment may be short: its lane decodes padded block
     # steps past the real data, whose flags are meaningless.  Suppress
     # exactly those (lane == last segment, t >= its real step count) so
@@ -374,14 +400,15 @@ def _entropy_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, SEG_SHAPE, 1)
     )
     in_tail = jnp.logical_and(
-        pl.program_id(0) == segmeta_ref[img, 0], t >= segmeta_ref[img, 2]
+        pl.program_id(0) * interleave + u == segmeta_ref[img, 0],
+        t >= segmeta_ref[img, 2],
     )
     suppress = jnp.logical_and(in_tail, lane_lin == segmeta_ref[img, 1])
-    err_ref[0] = jnp.where(suppress, err_ref[0], err)
-    state_ref[0] = hi
-    state_ref[1] = lo
-    state_ref[2] = navail
-    state_ref[3] = wp
+    err_ref[u] = jnp.where(suppress, err_ref[u], err)
+    state_ref[u, 0] = hi
+    state_ref[u, 1] = lo
+    state_ref[u, 2] = navail
+    state_ref[u, 3] = wp
 
 
 def decode_segments_device_multi(
@@ -396,6 +423,7 @@ def decode_segments_device_multi(
     symbols: jax.Array,       # (NI, 8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,
+    interleave: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device entropy decode with per-image Huffman tables.
 
@@ -408,6 +436,13 @@ def decode_segments_device_multi(
 
     ``unroll`` picks the AC-loop form (default: unrolled when compiled,
     fori_loop under interpret); both produce identical coefficients.
+
+    ``interleave`` (U) is the number of segment batches decoded per grid
+    step.  One batch is a single serial dependency chain (lockstep lanes)
+    and leaves the VPU mostly idle on latency; U independent chains fill
+    the bubbles.  Default: up to 4, bounded by B.  B is zero-padded to a
+    multiple of U (padded batches decode a zero stream; their rows are
+    sliced off before returning).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -415,12 +450,20 @@ def decode_segments_device_multi(
         unroll = not interpret
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
+    if interleave is None:
+        interleave = 1 if interpret else min(4, b)
+    u = max(1, int(interleave))
+    bpad = -(-b // u) * u
+    if bpad != b:
+        pad = [(0, bpad - b)] + [(0, 0)] * (streams.ndim - 1)
+        streams = jnp.pad(streams, pad)
+        img_of_batch = jnp.pad(img_of_batch, (0, bpad - b))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(b, t),
+        grid=(bpad // u, t),
         in_specs=[
             pl.BlockSpec(
-                (1, nw, SUBLANES, LANES),
+                (u, nw, SUBLANES, LANES),
                 lambda bi, ti, *_: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -428,30 +471,33 @@ def decode_segments_device_multi(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, 64, SUBLANES, LANES),
+                (u, 1, 64, SUBLANES, LANES),
                 lambda bi, ti, *_: (bi, ti, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, SUBLANES, LANES),
+                (u, SUBLANES, LANES),
                 lambda bi, ti, *_: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((8, SUBLANES, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((u, 8, SUBLANES, LANES), jnp.int32)],
     )
     coefs, err = pl.pallas_call(
-        functools.partial(_entropy_kernel, unroll),
+        functools.partial(_entropy_kernel, unroll, u),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, t, 64, SUBLANES, LANES), jnp.int16),
-            jax.ShapeDtypeStruct((b, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((bpad, t, 64, SUBLANES, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((bpad, SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(
         img_of_batch, comp_map, dcslot_map, acslot_map, seg_meta,
         cbase, counts, streams, symbols,
     )
+    if bpad != b:
+        coefs = coefs[:b]
+        err = err[:b]
     return coefs, err
 
 
@@ -466,6 +512,7 @@ def decode_segments_device(
     symbols: jax.Array,       # (8, 8, 128) int32, (sym|len<<8) 2/word
     interpret: bool | None = None,
     unroll: bool | None = None,
+    interleave: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-image device entropy decode (tables: DeviceScanPlan.kernel_tables).
 
@@ -480,6 +527,7 @@ def decode_segments_device(
         cbase[None], counts[None], symbols[None],
         interpret=interpret,
         unroll=unroll,
+        interleave=interleave,
     )
 
 

@@ -40,27 +40,25 @@ def main() -> None:
     streams = jnp.asarray(plan.streams)
     plan_rest = tuple(jnp.asarray(x) for x in plan.kernel_tables)
 
-    def chain(iters):
-        @jax.jit
-        def run(streams, *rest):
-            def body(_, carry):
-                s = streams ^ (carry % 2).astype(jnp.int32)
-                out, err = edev.decode_segments_device(s, *rest)
-                return (
-                    jnp.sum(out.astype(jnp.int32)) % 997
-                    + jnp.sum(err) % 13
-                    + carry
-                ).astype(jnp.int32)
-            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
-        return run
+    @jax.jit
+    def run(iters, streams, *rest):
+        def body(_, carry):
+            s = streams ^ (carry % 2).astype(jnp.int32)
+            out, err = edev.decode_segments_device(s, *rest)
+            return (
+                jnp.sum(out.astype(jnp.int32)) % 997
+                + jnp.sum(err) % 13
+                + carry
+            ).astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
     def measure(iters, reps=5):
-        fn = chain(iters)
-        int(fn(streams, *plan_rest))
+        it = jnp.int32(iters)
+        int(run(it, streams, *plan_rest))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            int(fn(streams, *plan_rest))
+            int(run(it, streams, *plan_rest))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -175,3 +175,17 @@ def test_corruption_in_last_segment_detected():
     corrupted = parse(bytes(data))
     with pytest.raises(JpegFormatError):
         entropy_decode_device(corrupted, interpret=True)
+
+
+@pytest.mark.parametrize("interleave", [2, 3])
+def test_device_entropy_interleaved(interleave):
+    """U-way interleaved decode (latency-hiding path) is bit-identical.
+
+    interleave=3 on a single-batch stream also exercises the zero-stream
+    batch padding (B is padded to a multiple of U and sliced back).
+    """
+    img = corpus.synthetic_rgb(40, 56, seed=11)
+    enc = corpus.own_jpeg(
+        img, subsampling="4:2:0", quality=80, restart_interval=1
+    )
+    _check(enc.data, interleave=interleave)
