@@ -22,11 +22,14 @@ import time
 
 def _stage(msg, _t0=[None]):
     """Progress timestamps on stderr (stdout stays one JSON line)."""
-    import time as _time
-
     if _t0[0] is None:
-        _t0[0] = _time.perf_counter()
-    print(f"[bench +{_time.perf_counter() - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+        _t0[0] = time.perf_counter()
+    print(
+        f"[bench +{time.perf_counter() - _t0[0]:7.1f}s] {msg}",
+        file=sys.stderr,
+        flush=True,
+    )
+
 
 import numpy as np
 
@@ -119,19 +122,23 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
-    def measure(iters):
+    def best_time(fn, iters, *args, reps=3):
+        """Best-of-reps wall time of fn(iters, *args); first call warms."""
         it = jnp.int32(iters)
-        int(chained(it, coefs, qtables))  # warm up / compile
+        int(fn(it, *args))  # warm up / compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            int(chained(it, coefs, qtables))
+            int(fn(it, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
     k1, k2 = 20, 120
     _stage("headline: compile + measure")
-    device_s = (measure(k2) - measure(k1)) / (k2 - k1)
+    device_s = (
+        best_time(chained, k2, coefs, qtables)
+        - best_time(chained, k1, coefs, qtables)
+    ) / (k2 - k1)
 
     # Same config through the fancy-upsampling path (the libjpeg-turbo
     # default pipeline -- the bit-exact parity target).
@@ -159,18 +166,11 @@ def main() -> None:
             )
         return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
-    def measure_fancy(iters):
-        it = jnp.int32(iters)
-        int(chained_fancy(it, coefs_blocks, qtables))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(chained_fancy(it, coefs_blocks, qtables))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     _stage("fancy parity: compile + measure")
-    fancy_s = (measure_fancy(60) - measure_fancy(10)) / 50
+    fancy_s = (
+        best_time(chained_fancy, 60, coefs_blocks, qtables)
+        - best_time(chained_fancy, 10, coefs_blocks, qtables)
+    ) / 50
 
     # Fully on-device decode (device entropy kernel + assembly + pixel
     # pipeline in one jit): the north-star path, measured in the serving
@@ -179,10 +179,14 @@ def main() -> None:
     from jpeg_gpu_tpu.ops import entropy_device as edev
 
     def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2):
-        im = corpus.synthetic_rgb(h, w, seed=1)
-        dat = corpus.pil_jpeg(
-            im, quality=85, subsampling=subsampling, restart_marker_blocks=2
-        )
+        if subsampling is None:  # grayscale (single component)
+            im = corpus.synthetic_gray(h, w, seed=1)
+            dat = corpus.pil_jpeg(im, quality=85, restart_marker_blocks=2)
+        else:
+            im = corpus.synthetic_rgb(h, w, seed=1)
+            dat = corpus.pil_jpeg(
+                im, quality=85, subsampling=subsampling, restart_marker_blocks=2
+            )
         par = parse(dat)
         hd = par.header
         sp = pipeline.PipelineSpec.from_header(hd, exact=True)
@@ -224,17 +228,10 @@ def main() -> None:
                 ).astype(jnp.int32)
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-        def meas(iters):
-            it = jnp.int32(iters)
-            int(chained_full(it, st, *rest))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                int(chained_full(it, st, *rest))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        sec = (meas(k2) - meas(k1)) / (k2 - k1)
+        sec = (
+            best_time(chained_full, k2, st, *rest)
+            - best_time(chained_full, k1, st, *rest)
+        ) / (k2 - k1)
         return h * w * nbatch / 1e6 / sec
 
     _stage("full on-device 1080p: compile + measure")
@@ -242,6 +239,23 @@ def main() -> None:
     # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
     _stage("full on-device 4K 4:2:2: compile + measure")
     mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
+
+    # Extended configs (the rest of BASELINE.json's list) are gated behind
+    # JPEG_TPU_BENCH_FULL=1: each adds a multi-minute compile, and the
+    # headline JSON line must stay affordable for per-round driver runs.
+    extended = {}
+    if os.environ.get("JPEG_TPU_BENCH_FULL"):
+        # BASELINE config #1: 512x512 grayscale, bit-exact path.
+        _stage("extended: 512 grayscale full on-device")
+        extended["full_512gray_device_decode_mpix_per_s"] = round(
+            full_decode_mpix_s(512, 512, None, 32, 10, 60), 1
+        )
+        # BASELINE config #5's single-chip half: 8K 4:2:0 decode (the
+        # multi-host ICI half is exercised by dryrun_multichip).
+        _stage("extended: 8K full on-device")
+        extended["full_8k420_device_decode_mpix_per_s"] = round(
+            full_decode_mpix_s(4320, 7680, "4:2:0", 1, 3, 9), 1
+        )
     _stage("done")
 
     mpix = width * height * batch / 1e6
@@ -264,6 +278,7 @@ def main() -> None:
                     "host_entropy_mpix_per_s": round(host_mpix_s, 2),
                     "host_entropy_impl": "native" if use_native else "python",
                     "backend": jax.default_backend(),
+                    **extended,
                 },
             }
         )

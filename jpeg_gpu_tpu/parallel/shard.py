@@ -223,8 +223,22 @@ def decode_image_device_sharded(
             )
 
     def step(streams, plan_tables, qtables):
+        # seg_meta locates the (possibly short) LAST segment by its
+        # GLOBAL batch index so the kernel can suppress the meaningless
+        # error flags of its padded tail steps.  Each shard's kernel sees
+        # only its local batches, so remap to shard-local coordinates
+        # (-1 = the last segment lives on another shard: program ids are
+        # never negative, so suppression correctly stays off).
+        comp_map, dcslot, acslot, seg_meta, cbase, counts, symbols = (
+            plan_tables
+        )
+        local_b = streams.shape[0]
+        lb = seg_meta[0] - jax.lax.axis_index(DATA_AXIS) * local_b
+        in_shard = jnp.logical_and(lb >= 0, lb < local_b)
+        seg_meta = seg_meta.at[0].set(jnp.where(in_shard, lb, -1))
         out, err = entropy_device.decode_segments_device(
-            streams, *plan_tables
+            streams, comp_map, dcslot, acslot, seg_meta,
+            cbase, counts, symbols,
         )
         # Exchange coefficient slabs across the data axis over ICI.
         out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)

@@ -30,3 +30,23 @@ def test_sharded_device_decode_gray():
     rgb = decode_image_device_sharded(parsed, mesh)
     ref = decode(enc.data, out="rgb", impl="host")
     np.testing.assert_array_equal(rgb, ref)
+
+
+def test_sharded_multibatch_short_last_segment():
+    """The short last segment's tail-flag suppression must work when its
+    batch lands on a data shard > 0 (seg_meta batch index is global; the
+    kernel sees shard-local indices -- parallel/shard.py remaps).
+
+    3x683 = 2049 MCU blocks at restart_interval=2 -> 1025 segments in two
+    kernel batches, last segment short (1 MCU); data axis 2 puts it on
+    shard 1.  Before the remap this raised JpegFormatError on a valid
+    image.
+    """
+    img = corpus.synthetic_gray(24, 5464, seed=13)
+    data = corpus.pil_jpeg(img, quality=85, restart_marker_blocks=2)
+    parsed = parse(data)
+    assert parsed.header.n_mcus == 2049
+    mesh = make_mesh(2, space=1)
+    rgb = decode_image_device_sharded(parsed, mesh)
+    ref = decode(data, out="rgb", impl="host")
+    np.testing.assert_array_equal(rgb, ref)
