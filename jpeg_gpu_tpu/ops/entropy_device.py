@@ -540,6 +540,7 @@ def assemble_components(
     nvmb: int,
     comp_geometry: Tuple[Tuple[int, int], ...],  # per comp (hsamp, vsamp)
     soa: bool = False,
+    force_general: bool = False,
 ):
     """XLA post-pass: kernel output -> per-component coefficient tensors.
 
@@ -553,13 +554,35 @@ def assemble_components(
     (de-zig-zagged) rows.  Block step order is the MCU-interleaved scan
     order (components in scan order, sub-blocks row-major), identical for
     every segment.
+
+    For one-MCU restart intervals the segment-lane order IS the MCU raster
+    order, so the SoA planes need no (sublane, lane) relayout at all --
+    only outer-axis moves, which XLA does as plain DMA.  That fast path
+    (~10x cheaper than the general lane transpose) activates itself;
+    ``force_general`` exists for the differential test.
     """
     b, t = kernel_out.shape[:2]
     nseg_slots = b * SUBLANES * LANES
-    x = kernel_out.reshape(b, t, 64, SUBLANES * LANES)
-    x = x.transpose(0, 3, 1, 2).reshape(nseg_slots, t, 64)[:n_segments]
     bpm = sum(hs * vs for hs, vs in comp_geometry)
     assert t == mcus_per_segment * bpm
+    if soa and mcus_per_segment == 1 and not force_general:
+        # R=1: segment (b, s, l) holds exactly MCU b*1024 + s*128 + l, and
+        # block step t is the block-in-MCU index, so each (t, coef) slice
+        # is already a raster-ordered MCU plane.
+        assert n_segments == n_mcus
+        x = kernel_out.reshape(b, bpm, 64, SUBLANES * LANES)
+        x = x.transpose(1, 2, 0, 3).reshape(bpm, 64, nseg_slots)
+        x = x[:, :, :n_mcus]
+        out = []
+        off = 0
+        for hs, vs in comp_geometry:
+            nb = hs * vs
+            yc = x[off : off + nb].reshape(vs, hs, 64, nvmb, nhmb)
+            off += nb
+            out.append(yc)
+        return tuple(out)
+    x = kernel_out.reshape(b, t, 64, SUBLANES * LANES)
+    x = x.transpose(0, 3, 1, 2).reshape(nseg_slots, t, 64)[:n_segments]
     # (nseg, R, bpm, 64) -> (nseg*R mcus, bpm, 64), drop padding MCUs.
     x = x.reshape(n_segments * mcus_per_segment, bpm, 64)
     x = x[:n_mcus]

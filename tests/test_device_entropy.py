@@ -189,3 +189,33 @@ def test_device_entropy_interleaved(interleave):
         img, subsampling="4:2:0", quality=80, restart_interval=1
     )
     _check(enc.data, interleave=interleave)
+
+
+@pytest.mark.parametrize(
+    "geom,nvmb,nhmb,b",
+    [
+        ((( 2, 2), (1, 1), (1, 1)), 5, 7, 1),    # 4:2:0
+        (((1, 1), (1, 1), (1, 1)), 9, 31, 1),    # 4:4:4
+        (((1, 1),), 16, 65, 2),                  # mono, 2 kernel batches
+        (((4, 1), (1, 1), (1, 1)), 3, 11, 1),    # 4:1:1
+        (((1, 2), (1, 1), (1, 1)), 8, 8, 1),     # 4:4:0
+    ],
+)
+def test_assemble_soa_r1_fast_path(geom, nvmb, nhmb, b):
+    """The R=1 no-relayout SoA assembly equals the general lane transpose."""
+    from jpeg_gpu_tpu.ops import entropy_device as edev
+
+    bpm = sum(hs * vs for hs, vs in geom)
+    n_mcus = nvmb * nhmb
+    assert n_mcus <= b * 1024
+    rng = np.random.default_rng(41)
+    kernel_out = rng.integers(
+        -1024, 1024, size=(b, bpm, 64, 8, 128), dtype=np.int16
+    )
+    args = (n_mcus, 1, n_mcus, nhmb, nvmb, geom)
+    fast = edev.assemble_components(kernel_out, *args, soa=True)
+    ref = edev.assemble_components(
+        kernel_out, *args, soa=True, force_general=True
+    )
+    for a, r in zip(fast, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
