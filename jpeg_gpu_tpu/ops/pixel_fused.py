@@ -49,8 +49,13 @@ from jpeg_gpu_tpu.ops.idct_islow import CONST_BITS, PASS1_BITS, _idct8
 
 
 def _idct_block_planes(load, qfn):
-    """64 coefficient planes -> {(u, v): clipped u8-range sample planes}."""
-    x = [load(j) * qfn(j) for j in range(64)]
+    """64 coefficient planes -> {(u, v): clipped u8-range sample planes}.
+
+    Loads may be int16 (the entropy decoders' native coefficient width);
+    the upcast happens here, per tile in VMEM, so the int32 copies never
+    materialise in HBM (half the kernel's input bandwidth).
+    """
+    x = [load(j).astype(jnp.int32) * qfn(j) for j in range(64)]
     p1 = {}
     for v in range(8):
         outs = _idct8(
@@ -145,9 +150,14 @@ def decode_rgb_fused_soa(
     *lead, _sy, _sx, sixtyfour, vbc, hbc = y_soa.shape
     assert (_sy, _sx, sixtyfour) == (sy, sx, 64), y_soa.shape
     n = int(np.prod(lead)) if lead else 1
-    y = y_soa.reshape(n, sy, sx, 64, vbc, hbc).astype(jnp.int32)
-    cb = cb_soa.reshape(n, 64, vbc, hbc).astype(jnp.int32)
-    cr = cr_soa.reshape(n, 64, vbc, hbc).astype(jnp.int32)
+    # Keep int16 coefficients at their native width into the kernel (the
+    # upcast happens per-tile after load); anything else goes to int32.
+    def _coerce(a):
+        return a if a.dtype == jnp.int16 else a.astype(jnp.int32)
+
+    y = _coerce(y_soa.reshape(n, sy, sx, 64, vbc, hbc))
+    cb = _coerce(cb_soa.reshape(n, 64, vbc, hbc))
+    cr = _coerce(cr_soa.reshape(n, 64, vbc, hbc))
     pad = (-vbc) % band
     if pad:
         y = jnp.pad(y, ((0, 0),) * 4 + ((0, pad), (0, 0)))
