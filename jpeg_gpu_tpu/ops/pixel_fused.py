@@ -30,6 +30,7 @@ color exactly as libjpeg's pipeline stores them.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,15 @@ from jpeg_gpu_tpu.ops.color import (
 from jpeg_gpu_tpu.ops.idct_islow import CONST_BITS, PASS1_BITS, _idct8
 
 
+# Trace-time ablation switches (scripts / perf archaeology only, like
+# ops/entropy_device.py): JPEG_TPU_PIXEL_ABLATE=noidct skips the IDCT
+# butterflies, =nocolor skips the color convert + byte pack.  Output is
+# garbage under ablation; never set in tests.
+_ABLATE = frozenset(
+    t for t in os.environ.get("JPEG_TPU_PIXEL_ABLATE", "").split(",") if t
+)
+
+
 def _idct_block_planes(load, qfn):
     """64 coefficient planes -> {(u, v): clipped u8-range sample planes}.
 
@@ -56,6 +66,8 @@ def _idct_block_planes(load, qfn):
     materialise in HBM (half the kernel's input bandwidth).
     """
     x = [load(j).astype(jnp.int32) * qfn(j) for j in range(64)]
+    if "noidct" in _ABLATE:
+        return {(u, v): jnp.clip(x[u * 8 + v], 0, 255) for u in range(8) for v in range(8)}
     p1 = {}
     for v in range(8):
         outs = _idct8(
@@ -81,14 +93,18 @@ def _fused_rgb_kernel(
     qty_ref,          # (N, 64) int32 luma dequant
     qtc_ref,          # (N, 2, 64) int32 chroma dequant (Cb, Cr rows)
     # VMEM inputs:
-    y_ref,            # (1, sy, sx, 64, BAND, HBC) int32
-    cb_ref,           # (1, 64, BAND, HBC) int32
-    cr_ref,           # (1, 64, BAND, HBC) int32
+    y_ref,            # (1, sy, sx, 64, BAND, HBC) int16/int32
+    cb_ref,           # (1, 64, BAND, HBC) int16/int32
+    cr_ref,           # (1, 64, BAND, HBC) int16/int32
     # output:
     out_ref,          # (1, BAND, sy, 8, WPG, HBC) int32 packed RGB words;
     #                   WPG = 6*sx words per chroma-block lane per row
 ):
     ni = pl.program_id(0)
+    if "noio" in _ABLATE:
+        # Pure block-DMA machinery: no loads, constant stores.
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.int32)
+        return
     cb = _idct_block_planes(lambda j: cb_ref[0, j], lambda j: qtc_ref[ni, 0, j])
     cr = _idct_block_planes(lambda j: cr_ref[0, j], lambda j: qtc_ref[ni, 1, j])
 
@@ -106,10 +122,16 @@ def _fused_rgb_kernel(
     wpg = 6 * sx  # words per (chroma lane, pixel row): sx*8 px * 3 / 4
 
     for pr in range(sy):
+        per_u = [[None] * wpg for _ in range(8)]
         for pc in range(sx):
             ys = _idct_block_planes(
                 lambda j: y_ref[0, pr, pc, j], lambda j: qty_ref[ni, j]
             )
+            if "nocolor" in _ABLATE:
+                for u in range(8):
+                    for w in range(6):
+                        per_u[u][pc * 6 + w] = ys[(u, w % 8)]
+                continue
             for u in range(8):
                 # Channel bytes of this pixel row, in raster order within
                 # the sx*8-pixel span this parity group covers per lane.
@@ -126,7 +148,11 @@ def _fused_rgb_kernel(
                         shifted = val << (8 * byte) if byte else val
                         words[w] = shifted if words[w] is None else words[w] | shifted
                 for w in range(6):
-                    out_ref[0, :, pr, u, pc * 6 + w] = words[w]
+                    per_u[u][pc * 6 + w] = words[w]
+        for u in range(8):
+            # One (band, wpg, hb) store per output row group (six strided
+            # per-word stores measured no faster, but this is fewer ops).
+            out_ref[0, :, pr, u] = jnp.stack(per_u[u], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
@@ -218,7 +244,10 @@ def decode_rgb_fused_soa(
     # words), then free reshapes + u8 view to (H, W, 3).
     h = vbc * sy * 8
     w = hbc * sx * 8
-    words = packed.transpose(0, 1, 2, 3, 5, 4).reshape(n, h, w * 3 // 4)
+    if "notranspose" in _ABLATE:  # perf archaeology: wrong pixel order
+        words = packed.reshape(n, h, w * 3 // 4)
+    else:
+        words = packed.transpose(0, 1, 2, 3, 5, 4).reshape(n, h, w * 3 // 4)
     rgb = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(n, h, w, 3)
     return rgb.reshape(*lead, h, w, 3) if lead else rgb[0]
 
