@@ -31,7 +31,16 @@ log = get_logger("engine")
 
 
 def _bucket_key(spec: PipelineSpec) -> Tuple:
-    return (spec.width, spec.height, spec.comp_sizes, spec.comp_decs)
+    # comp_samps matters too: equal sizes/decimations can still have
+    # different sampling factors (e.g. 4:4:4 vs all-2x2 factors) and
+    # therefore different MCU-aligned block grids.
+    return (
+        spec.width,
+        spec.height,
+        spec.comp_sizes,
+        spec.comp_decs,
+        spec.comp_samps,
+    )
 
 
 @dataclasses.dataclass

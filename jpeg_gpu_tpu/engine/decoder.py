@@ -18,7 +18,7 @@ interchangeable backends for differential testing:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +29,6 @@ from jpeg_gpu_tpu.host import entropy as host_entropy
 from jpeg_gpu_tpu.host.parser import ParsedJpeg, parse
 from jpeg_gpu_tpu.info import JpegHeader
 from jpeg_gpu_tpu.ops import color as color_ops
-from jpeg_gpu_tpu.ops import idct as idct_ops
 from jpeg_gpu_tpu.ops import idct_islow
 from jpeg_gpu_tpu.utils.logging import get_logger
 

@@ -46,15 +46,20 @@ def shared_object_path() -> Optional[pathlib.Path]:
         tag = hashlib.sha256(src).hexdigest()[:16]
         out = _cache_dir() / f"xjpeg_host_{tag}.so"
         if not out.exists():
+            # Per-process tmp name: concurrent cold-cache builds (parallel
+            # pytest workers, two CLIs) must not interleave g++ output into
+            # one file; each builds privately, the os.replace is atomic and
+            # last-writer-wins with identical content.
+            tmp = f"{out}.{os.getpid()}.tmp"
             cmd = [
                 "g++", "-std=c++17", "-O3", "-march=native", "-fPIC",
-                "-shared", "-pthread", str(_SRC), "-o", str(out) + ".tmp",
+                "-shared", "-pthread", str(_SRC), "-o", tmp,
             ]
             try:
                 subprocess.run(
                     cmd, check=True, capture_output=True, timeout=120
                 )
-                os.replace(str(out) + ".tmp", out)
+                os.replace(tmp, out)
                 log.info("built native decoder: %s", out)
             except (subprocess.SubprocessError, OSError) as e:
                 stderr = getattr(e, "stderr", b"")

@@ -181,6 +181,17 @@ def _parse_sof0(r: _Reader) -> Tuple[int, int, int, List[Component]]:
             raise JpegFormatError(f"duplicate component id {cid}")
         seen_ids.add(cid)
         comps.append(Component(comp_id=cid, hsamp=h, vsamp=v, quant_idx=tq))
+    if ncomps == 1:
+        # T.81 A.2 / libjpeg (jdinput.c): a single-component scan is
+        # NON-interleaved -- its MCU is one data unit and blocks cover a
+        # ceil(w/8) x ceil(h/8) raster grid regardless of the declared
+        # sampling factors (those only shape multi-component interleave).
+        # Normalise to 1x1 so every downstream MCU computation follows
+        # the non-interleaved rule.
+        c = comps[0]
+        comps = [
+            Component(comp_id=c.comp_id, hsamp=1, vsamp=1, quant_idx=c.quant_idx)
+        ]
     return bits, width, height, comps
 
 
@@ -201,8 +212,22 @@ def _parse_sos(r: _Reader, comps: List[Component], validate: bool) -> ScanHeader
         if not matches:
             raise JpegFormatError(f"scan references unknown component id {cs}")
         comp_idx.append(matches[0])
-        dc_tbl.append(tda >> 4)
-        ac_tbl.append(tda & 0x0F)
+        # Table slot ids index fixed 4-slot tuples (and, on the device
+        # path, the kernel's (8, ...) table tensors) -- out-of-range ids
+        # are structural corruption, rejected even with validate=False.
+        td, ta = tda >> 4, tda & 0x0F
+        if td > 3 or ta > 3:
+            raise JpegFormatError(f"scan Huffman table id {td}/{ta} > 3")
+        dc_tbl.append(td)
+        ac_tbl.append(ta)
+    # T.81 B.2.3: scan components must follow frame-header order.  Every
+    # consumer pairs scan-ordered coefficients with frame-ordered
+    # components, so an out-of-order scan would silently swap planes --
+    # reject it outright.
+    if comp_idx != sorted(comp_idx):
+        raise JpegFormatError(
+            f"scan component order {comp_idx} does not follow the frame header"
+        )
     ss, se, ahl = r.u8(), r.u8(), r.u8()
     if (ss, se, ahl) != (0, 63, 0):
         raise JpegUnsupportedError(

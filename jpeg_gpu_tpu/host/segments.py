@@ -292,7 +292,7 @@ class CorpusScanPlan:
     #                            index / lane / real step count of its last
     #                            restart segment (tail-flag suppression)
     cbase: np.ndarray          # (NI, 8, 16) int32
-    counts: np.ndarray         # (NI, 8, 16) int32
+    counts: np.ndarray         # (NI, 8, 17) int32 (slot 16: invalid limit)
     symbols: np.ndarray        # (NI, 8, 8, 128) int32
 
     @property

@@ -164,14 +164,9 @@ def _decode_tile(
         """
         if "nofetch" in _ABLATE:
             return stream_ref[u, 0]
-        if nw <= 512 and unroll:
+        if (nw <= 512 and unroll) or nw <= 64:
             # Unrolled even at large word counts: a serial fori fetch per
             # symbol measured ~10x slower at nw=146 (R=8 segments).
-            acc = jnp.zeros(SEG_SHAPE, jnp.int32)
-            for w in range(nw):
-                acc = jnp.where(wp == w, stream_ref[u, w], acc)
-            return acc
-        if nw <= 64:
             acc = jnp.zeros(SEG_SHAPE, jnp.int32)
             for w in range(nw):
                 acc = jnp.where(wp == w, stream_ref[u, w], acc)

@@ -67,3 +67,16 @@ def test_decode_batch_device_mixed_tables():
     assert len(got) == len(ref)
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_bucket_key_separates_sampling_factors():
+    """Same size + decimations but different sampling factors must not
+    share a bucket: 4:4:4 and the all-2x2 fixture have identical
+    comp_sizes/comp_decs yet different MCU-aligned block grids."""
+    img = corpus.synthetic_rgb(24, 24, seed=7)
+    a = corpus.own_jpeg(img, subsampling="4:4:4", quality=85).data
+    b = corpus.own_jpeg(img, subsampling="4:4:4-2x2", quality=85).data
+    outs = decode_batch([a, b])
+    for data, got in zip((a, b), outs):
+        ref = decode(data, out="rgb", impl="tpu")
+        np.testing.assert_array_equal(got, ref)

@@ -160,3 +160,64 @@ def test_all_2x2_sampling_factors():
     np.testing.assert_array_equal(a, b)
     c = decode(enc.data, impl="tpu", entropy="device")
     np.testing.assert_array_equal(c, b)
+
+
+def _patch_first(data: bytes, marker: int, offset: int, old: int, new: int) -> bytes:
+    """Patch one byte at `offset` past the first marker's length field."""
+    i = data.index(bytes([0xFF, marker]))
+    pos = i + 4 + offset  # skip FF xx + 2-byte length
+    assert data[pos] == old, (hex(data[pos]), hex(old))
+    return data[:pos] + bytes([new]) + data[pos + 1 :]
+
+
+def test_scan_huffman_slot_out_of_range_rejected():
+    """Td/Ta > 3 is structural corruption (indexes 4-slot tables and the
+    device kernel's (8, ...) tensors): rejected even with validate off."""
+    import pytest
+
+    from jpeg_gpu_tpu.errors import JpegFormatError
+    from jpeg_gpu_tpu.host.parser import parse
+
+    img = corpus.synthetic_gray(16, 16, seed=3)
+    data = corpus.pil_jpeg(img, quality=85)
+    # SOS payload: ns, then (cs, tda) pairs; patch component 0's tda.
+    bad = _patch_first(data, 0xDA, 2, 0x00, 0x44)
+    with pytest.raises(JpegFormatError):
+        parse(bad, validate=False)
+
+
+def test_scan_component_order_must_follow_frame():
+    """T.81 B.2.3: out-of-order scan components would silently swap
+    planes in every consumer -- rejected outright."""
+    import pytest
+
+    from jpeg_gpu_tpu.errors import JpegFormatError
+    from jpeg_gpu_tpu.host.parser import parse
+
+    img = corpus.synthetic_rgb(16, 16, seed=3)
+    data = corpus.pil_jpeg(img, quality=85, subsampling="4:4:4")
+    i = data.index(bytes([0xFF, 0xDA]))
+    pos = i + 5  # ns byte consumed; component entries start here
+    ns = data[i + 4]
+    assert ns == 3
+    entries = [data[pos + 2 * k : pos + 2 * k + 2] for k in range(3)]
+    swapped = entries[1] + entries[0] + entries[2]
+    bad = data[:pos] + swapped + data[pos + 6 :]
+    with pytest.raises(JpegFormatError):
+        parse(bad)
+
+
+def test_gray_with_sampling_factors_decodes_non_interleaved():
+    """A 1-component frame's declared sampling factors do not change the
+    (non-interleaved) data ordering -- T.81 A.2 / libjpeg jdinput.c.
+    Patching a grayscale SOF from 1x1 to 2x2 factors must decode to the
+    same pixels."""
+    img = corpus.synthetic_gray(40, 24, seed=9)
+    data = corpus.pil_jpeg(img, quality=85, restart_marker_blocks=2)
+    ref = decode(data, out="rgb", impl="host")
+    # SOF0 payload: bits, h(2), w(2), ncomps, then (cid, hv, tq).
+    bad = _patch_first(data, 0xC0, 7, 0x11, 0x22)
+    got = decode(bad, out="rgb", impl="host")
+    np.testing.assert_array_equal(got, ref)
+    got_py = decode(bad, out="rgb", impl="host", entropy="python")
+    np.testing.assert_array_equal(got_py, ref)
