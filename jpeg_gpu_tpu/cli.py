@@ -153,12 +153,17 @@ def main(argv=None) -> int:
                 dec.decode(stage)
             total = time.perf_counter() - t0
             mpix = header.width * header.height * args.bench / 1e6
+            # Bytes shipped per frame at this stage cut -- the reference's
+            # central experiment variable (img.packed, jpeg_gpu.c:803,1287).
+            io = dec.io_bytes(stage)
             print(
                 f"{args.bench / total:.1f} FPS "
                 f"(host {host_s / args.bench * 1e3:.3f} ms, "
                 f"total {total / args.bench * 1e3:.3f} ms/frame, "
                 f"{mpix / total:.1f} Mpix/s, impl={args.impl}, "
-                f"out={stage.value}, entropy={args.entropy})"
+                f"out={stage.value}, entropy={args.entropy}, "
+                f"upload={io['upload']}B/frame ({io['payload']}), "
+                f"download={io['download']}B, tables={io['tables']}B)"
             )
             return 0
 

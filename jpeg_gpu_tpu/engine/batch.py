@@ -75,12 +75,9 @@ def decode_batch(
     Returns RGB arrays in input order.
     """
     if entropy == "device":
-        if mesh is not None:
-            raise NotImplementedError(
-                "entropy='device' corpus decode is single-device; "
-                "use decode_image_device_sharded for distributed decode"
-            )
-        return decode_batch_device(datas, exact=exact, upsample=upsample)
+        return decode_batch_device(
+            datas, exact=exact, upsample=upsample, mesh=mesh
+        )
     buckets: Dict[Tuple, _Bucket] = {}
     for i, data in enumerate(datas):
         parsed = parse(data)
@@ -159,7 +156,7 @@ def _decode_bucket_device(
     from jpeg_gpu_tpu.engine.pipeline import decode_rgb_soa
     from jpeg_gpu_tpu.ops import entropy_device
 
-    ni, b1, n_segments, mps, n_mcus, nhmb, nvmb, geom = meta
+    ni, b1, n_segments, mps, n_mcus, nhmb, nvmb, geom, frame_order = meta
     out, err = entropy_device.decode_segments_device_multi(
         streams, *tables, interpret=interpret
     )
@@ -170,7 +167,7 @@ def _decode_bucket_device(
     def assemble_one(one):
         return entropy_device.assemble_components(
             one, n_segments, mps, n_mcus, nhmb, nvmb, geom,
-            soa=fgeom is not None,
+            soa=fgeom is not None, frame_order=frame_order,
         )
 
     comps = jax.vmap(assemble_one)(per_image)
@@ -188,6 +185,7 @@ def decode_batch_device(
     interpret: Optional[bool] = None,
     check_errors: bool = True,
     on_error: str = "raise",
+    mesh=None,
 ) -> List[np.ndarray]:
     """Fully on-device corpus decode: per-image entropy bits -> RGB.
 
@@ -198,6 +196,12 @@ def decode_batch_device(
     parses markers and packs destuffed words -- this is the serving path
     for corpora, with the per-image work the reference's CPU re-did every
     frame (xjpeg_decode_scan) all on the accelerator.
+
+    With ``mesh`` (a (data, space) Mesh) each bucket distributes: images
+    shard over the flattened chip grid for the entropy stage, coefficient
+    slabs ride ICI, and the pixel stage splits MCU block rows over
+    ``space`` (parallel/shard.py:decode_corpus_device_sharded) -- the
+    full BASELINE config #4 shape.
 
     Falls back to the host-entropy ``decode_batch`` for images the device
     planner rejects (e.g. a no-restart stream too large per segment).
@@ -228,6 +232,12 @@ def decode_batch_device(
 
     for items in buckets.values():
         indices = [i for i, _, _ in items]
+        if mesh is not None:
+            # Image count must tile the chip grid: replicate the last
+            # image's plan (its outputs are dropped below).
+            n_chips = int(np.prod(list(mesh.shape.values())))
+            pad = (-len(items)) % n_chips
+            items = list(items) + [items[-1]] * pad
         parsed0 = items[0][1]
         hdr = parsed0.header
         spec = PipelineSpec.from_header(hdr, exact=exact, upsample=upsample)
@@ -257,6 +267,7 @@ def decode_batch_device(
         meta = (
             ni, b1, corpus_plan.n_segments, corpus_plan.mcus_per_segment,
             corpus_plan.n_mcus, hdr.nhmb, hdr.nvmb, geom,
+            hdr.scan.comp_idx,
         )
         if fgeom is not None:
             # Per-image tables ride the fused kernel's leading grid dim.
@@ -265,13 +276,56 @@ def decode_batch_device(
             qts = tuple(
                 qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
             )
-        rgb, err = _decode_bucket_device(
-            spec, fgeom, meta, interpret, on_error == "zero",
-            jnp.asarray(corpus_plan.streams),
-            tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
-            qts,
-        )
-        rgb = np.asarray(rgb)
+        if mesh is not None:
+            from jpeg_gpu_tpu.parallel.shard import (
+                decode_corpus_device_sharded,
+            )
+
+            n_chips = int(np.prod(list(mesh.shape.values())))
+            ni_loc = ni // n_chips
+            # Shard-local last-segment meta: every bucket image shares
+            # (local batch, lane, steps); rebuild rows with LOCAL batch
+            # indices (global indices are meaningless inside a shard).
+            p0 = items[0][2]
+            lb0, lane0, steps0 = (int(x) for x in p0.seg_meta)
+            local_seg_meta = np.stack(
+                [
+                    np.array(
+                        [j * b1 + lb0, lane0, steps0], dtype=np.int32
+                    )
+                    for j in range(ni_loc)
+                ]
+            )
+            smeta = (
+                b1, corpus_plan.n_segments, corpus_plan.mcus_per_segment,
+                corpus_plan.n_mcus, hdr.nhmb, hdr.nvmb, geom,
+                hdr.scan.comp_idx, on_error == "zero",
+            )
+            rgb, err = decode_corpus_device_sharded(
+                spec, mesh, smeta,
+                jnp.asarray(corpus_plan.streams),
+                (
+                    jnp.asarray(corpus_plan.comp_of_step),
+                    jnp.asarray(corpus_plan.dc_slot_of_step),
+                    jnp.asarray(corpus_plan.ac_slot_of_step),
+                ),
+                jnp.asarray(local_seg_meta),
+                (
+                    jnp.asarray(corpus_plan.cbase),
+                    jnp.asarray(corpus_plan.counts),
+                    jnp.asarray(corpus_plan.symbols),
+                ),
+                qts,
+            )
+            rgb = np.asarray(rgb)[:, : spec.height, : spec.width]
+        else:
+            rgb, err = _decode_bucket_device(
+                spec, fgeom, meta, interpret, on_error == "zero",
+                jnp.asarray(corpus_plan.streams),
+                tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
+                qts,
+            )
+            rgb = np.asarray(rgb)
         if check_errors and on_error == "raise":
             flags = np.asarray(err).reshape(ni, -1)[
                 :, : corpus_plan.n_segments

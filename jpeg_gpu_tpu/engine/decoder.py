@@ -141,6 +141,62 @@ class Decoder:
             ).coefs
         return self._scan_soa
 
+    def io_bytes(self, out: StageArg = OutputStage.RGB) -> dict:
+        """Host<->device payload bytes for decode(out) in the current mode.
+
+        The reference's central experiment variable: bytes shipped to the
+        accelerator per stage cut (img.packed, jpeg_gpu.c:803,1287) --
+        the pack upload mode exists to shrink exactly this number.
+        ``upload`` covers the per-frame payload (coefficients, packed
+        stream, or destuffed entropy words); ``download`` the stage's
+        output.  Huffman/quant table tensors are one-time per stream and
+        reported separately as ``tables``.
+        """
+        stage = _stage(out)
+        hdr = self._parse().header
+        coef_b = sum(c.vblocks * c.hblocks * 64 * 2 for c in hdr.components)
+        down = {
+            OutputStage.RGB: hdr.height * hdr.width * 3,
+            OutputStage.YUV: sum(c.height * c.width for c in hdr.components),
+            OutputStage.QUANT: coef_b,
+            OutputStage.DCT: coef_b * 2,  # int32
+            OutputStage.PACK: 0,          # host-only stage
+        }[stage]
+        tables = 64 * 4 * hdr.ncomps  # dequant tables
+        mode = "host"
+        if stage == OutputStage.PACK:
+            upload = 0
+            tables = 0
+        elif getattr(self, "entropy", None) == "device":
+            from jpeg_gpu_tpu.host.segments import build_plan
+
+            try:
+                plan = build_plan(self._parse())
+            except Exception:
+                upload = coef_b  # planner rejected: host-entropy fallback
+            else:
+                mode = "bits"
+                upload = plan.streams.nbytes
+                tables = (
+                    plan.cbase.nbytes + plan.counts.nbytes
+                    + plan.symbols.nbytes + plan.comp_of_step.nbytes
+                    + plan.dc_slot_of_step.nbytes
+                    + plan.ac_slot_of_step.nbytes + 64 * 4 * hdr.ncomps
+                )
+        elif getattr(self, "upload", "coefs") == "pack":
+            mode = "pack"
+            scan = self._entropy(want_pack=True)
+            idx_b = sum(i.nbytes for i in (scan.pack_index or []))
+            upload = (len(scan.pack) * 2 if scan.pack is not None else 0) + idx_b
+        else:
+            upload = coef_b
+        return {
+            "upload": int(upload),
+            "download": int(down),
+            "tables": int(tables),
+            "payload": mode,
+        }
+
     def host_entropy(self, out: StageArg = "rgb"):
         """Run (and cache) the host entropy work that decode(out) will
         consume -- for benchmarking the host/device time split without
@@ -180,6 +236,9 @@ class HostDecoder(Decoder):
     ):
         super().__init__(data, validate=validate, entropy=entropy)
         self.upsample = upsample
+
+    def io_bytes(self, out: StageArg = OutputStage.RGB) -> dict:
+        return {"upload": 0, "download": 0, "tables": 0, "payload": "none"}
 
     def decode(self, out: StageArg = OutputStage.RGB):
         stage = _stage(out)
@@ -282,15 +341,24 @@ class TpuDecoder(Decoder):
         if self.entropy == "device" and stage != OutputStage.PACK:
             from jpeg_gpu_tpu.engine.device_entropy import decode_image_device
 
-            dev = decode_image_device(
-                self._parse(), stage=stage, exact=self.exact,
-                upsample=self.upsample, on_error=self.on_error,
-            )
-            if stage in (OutputStage.QUANT, OutputStage.DCT):
-                return CoefOutput(coefs=[np.asarray(c) for c in dev])
-            if stage == OutputStage.YUV:
-                return YuvOutput(planes=[np.asarray(p) for p in dev])
-            return np.asarray(dev)
+            try:
+                dev = decode_image_device(
+                    self._parse(), stage=stage, exact=self.exact,
+                    upsample=self.upsample, on_error=self.on_error,
+                )
+            except JpegUnsupportedError as e:
+                # Same fallback contract as decode_batch_device: inputs the
+                # device planner rejects (e.g. a no-restart stream whose one
+                # segment exceeds the word budget) decode via host entropy
+                # with identical output.
+                log.info("device entropy plan rejected (%s); host fallback", e)
+                dev = None
+            if dev is not None:
+                if stage in (OutputStage.QUANT, OutputStage.DCT):
+                    return CoefOutput(coefs=[np.asarray(c) for c in dev])
+                if stage == OutputStage.YUV:
+                    return YuvOutput(planes=[np.asarray(p) for p in dev])
+                return np.asarray(dev)
         if stage == OutputStage.PACK:
             return self._coef_stage(stage)
         hdr = self._parse().header
@@ -339,20 +407,49 @@ class TpuDecoder(Decoder):
 
 
 class PilDecoder(Decoder):
-    """Pillow/libjpeg-turbo oracle backend (pixel stages only)."""
+    """libjpeg-turbo oracle backend.
+
+    RGB via Pillow; QUANT/DCT and YUV via the ctypes shim over the system
+    libjpeg (host/oracle_native.py), mirroring the reference vtbl's
+    ``jpeg_read_coefficients`` / ``jpeg_read_raw_data`` cuts
+    (jpeg_wrap.c:137-201).  PACK has no libjpeg analogue.
+    """
 
     name = "pil"
+
+    def io_bytes(self, out: StageArg = OutputStage.RGB) -> dict:
+        return {"upload": 0, "download": 0, "tables": 0, "payload": "none"}
 
     def host_entropy(self, out: StageArg = "rgb"):
         return None  # libjpeg does its own entropy work inside decode()
 
     def decode(self, out: StageArg = OutputStage.RGB):
+        from jpeg_gpu_tpu.host import oracle_native
         from jpeg_gpu_tpu.testing import oracle
 
         stage = _stage(out)
+        if stage in (OutputStage.QUANT, OutputStage.DCT, OutputStage.YUV):
+            if not oracle_native.available():
+                raise JpegUnsupportedError(
+                    "libjpeg oracle shim unavailable (no system libjpeg); "
+                    f"PIL backend cannot serve the {stage.value} stage"
+                )
+            if stage == OutputStage.YUV:
+                return YuvOutput(planes=oracle_native.libjpeg_raw_yuv(self.data))
+            coefs, qts = oracle_native.libjpeg_coefficients(self.data)
+            if stage == OutputStage.QUANT:
+                return CoefOutput(coefs=coefs)
+            # DCT = dequantized coefficients, int32 (same contract as
+            # _coef_stage; libjpeg's own qtables do the dequant).
+            dq = [
+                c.astype(np.int32) * q.astype(np.int32).reshape(8, 8)
+                for c, q in zip(coefs, qts)
+            ]
+            return CoefOutput(coefs=dq)
         if stage != OutputStage.RGB:
             raise JpegUnsupportedError(
-                f"PIL oracle backend only provides the rgb stage, not {stage.value}"
+                f"PIL oracle backend only provides rgb/yuv/quant/dct, "
+                f"not {stage.value}"
             )
         hdr = self.decode_header()
         if hdr.ncomps == 1:

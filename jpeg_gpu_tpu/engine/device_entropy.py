@@ -36,6 +36,7 @@ def entropy_decode_device(
     soa: bool = False,
     on_error: str = "raise",
     interleave: Optional[int] = None,
+    ac_chunk: Optional[int] = None,
 ) -> DeviceEntropyResult:
     """Decode the scan's restart segments on the TPU.
 
@@ -62,6 +63,7 @@ def entropy_decode_device(
         interpret=interpret,
         unroll=unroll,
         interleave=interleave,
+        ac_chunk=ac_chunk,
     )
     if on_error == "zero":
         # Blank flagged segments: the damage stays inside the restart
@@ -78,6 +80,7 @@ def entropy_decode_device(
         header.nvmb,
         comp_geometry,
         soa,
+        header.scan.comp_idx,
     )
     if check_errors and on_error == "raise":
         # Flags are exact for every segment (the kernel suppresses the
@@ -92,10 +95,10 @@ def entropy_decode_device(
     return DeviceEntropyResult(coefs=coefs, err=err)
 
 
-@functools.partial(jax.jit, static_argnums=range(1, 8))
+@functools.partial(jax.jit, static_argnums=range(1, 9))
 def _assemble(
     kernel_out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
-    soa=False,
+    soa=False, frame_order=None,
 ):
     # Module-level jit so identical geometries hit the trace cache (a
     # per-call functools.partial wrapper retraced every decode).
@@ -108,6 +111,7 @@ def _assemble(
         nvmb=nvmb,
         comp_geometry=geom,
         soa=soa,
+        frame_order=frame_order,
     )
 
 
@@ -142,6 +146,8 @@ def expand_pack_device(
         header.nhmb,
         header.nvmb,
         comp_geometry,
+        False,
+        header.scan.comp_idx,
     )
 
 
@@ -183,7 +189,7 @@ def decode_image_device_sharded(
     spec = pipeline.PipelineSpec.from_header(header, exact=exact, upsample=upsample)
     assemble_args = (
         plan.n_segments, plan.mcus_per_segment, header.n_mcus,
-        header.nhmb, header.nvmb, geom,
+        header.nhmb, header.nvmb, geom, header.scan.comp_idx,
     )
     qtables = tuple(
         jnp.asarray(header.quant_for(c).values.astype(np.int32))

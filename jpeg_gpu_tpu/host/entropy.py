@@ -30,7 +30,7 @@ import numpy as np
 from jpeg_gpu_tpu.errors import JpegFormatError
 from jpeg_gpu_tpu.host.huffman import HuffmanLut, huff_extend
 from jpeg_gpu_tpu.host.parser import ParsedJpeg
-from jpeg_gpu_tpu.info import JpegHeader
+from jpeg_gpu_tpu.info import JpegHeader, scan_to_frame_order
 from jpeg_gpu_tpu.ops.zigzag import ZIGZAG
 
 
@@ -258,6 +258,10 @@ def decode_scan(
     pack_arr = (
         np.array(pack_out, dtype=np.uint16) if pack_out is not None else None
     )
+    # Decode ran in scan order; the public contract is frame order.
+    coefs = scan_to_frame_order(coefs, scan.comp_idx)
+    if pack_index is not None:
+        pack_index = scan_to_frame_order(pack_index, scan.comp_idx)
     return ScanResult(coefs=coefs, pack=pack_arr, pack_index=pack_index)
 
 

@@ -17,6 +17,7 @@ import numpy as np
 from jpeg_gpu_tpu.errors import JpegFormatError
 from jpeg_gpu_tpu.host.entropy import ScanResult
 from jpeg_gpu_tpu.host.parser import ParsedJpeg
+from jpeg_gpu_tpu.info import scan_to_frame_order
 from jpeg_gpu_tpu.utils.logging import get_logger
 
 log = get_logger("entropy")
@@ -27,6 +28,7 @@ _ERROR_NAMES = {
     3: "invalid AC Huffman code",
     4: "AC index outside block",
     5: "bad parameters",
+    6: "pack stream capacity overflow",
 }
 
 
@@ -244,8 +246,9 @@ def decode_scan(
             )
             pack_index.append(blk.astype(np.int32))
         return ScanResult(
-            coefs=coefs, pack=stream.astype(np.uint16),
-            pack_index=pack_index,
+            coefs=scan_to_frame_order(coefs, scan.comp_idx),
+            pack=stream.astype(np.uint16),
+            pack_index=scan_to_frame_order(pack_index, scan.comp_idx),
         )
 
     rc = lib.xjpeg_decode_scan(
@@ -265,7 +268,7 @@ def decode_scan(
         raise JpegFormatError(
             f"native entropy decode failed: {_ERROR_NAMES.get(rc, rc)}"
         )
-    return ScanResult(coefs=coefs)
+    return ScanResult(coefs=scan_to_frame_order(coefs, scan.comp_idx))
 
 
 def max_destuffed_len(

@@ -18,10 +18,8 @@ from jpeg_gpu_tpu.utils.logging import get_logger
 
 log = get_logger("entropy")
 
-_SRC = pathlib.Path(__file__).with_name("xjpeg_host.cpp")
 _LOCK = threading.Lock()
-_CACHED_PATH: Optional[pathlib.Path] = None
-_BUILD_FAILED = False
+_CACHED: dict = {}   # stem -> Optional[pathlib.Path] (None = build failed)
 
 
 def _cache_dir() -> pathlib.Path:
@@ -34,17 +32,15 @@ def _cache_dir() -> pathlib.Path:
     return p
 
 
-def shared_object_path() -> Optional[pathlib.Path]:
-    """Build (if needed) and return the .so path, or None if unavailable."""
-    global _CACHED_PATH, _BUILD_FAILED
+def _build(stem: str, extra_flags=()) -> Optional[pathlib.Path]:
+    """Build (if needed) <stem>.cpp beside this file -> .so path, or None."""
     with _LOCK:
-        if _CACHED_PATH is not None:
-            return _CACHED_PATH
-        if _BUILD_FAILED:
-            return None
-        src = _SRC.read_bytes()
-        tag = hashlib.sha256(src).hexdigest()[:16]
-        out = _cache_dir() / f"xjpeg_host_{tag}.so"
+        if stem in _CACHED:
+            return _CACHED[stem]
+        src_path = pathlib.Path(__file__).with_name(f"{stem}.cpp")
+        src = src_path.read_bytes()
+        tag = hashlib.sha256(src + repr(extra_flags).encode()).hexdigest()[:16]
+        out = _cache_dir() / f"{stem}_{tag}.so"
         if not out.exists():
             # Per-process tmp name: concurrent cold-cache builds (parallel
             # pytest workers, two CLIs) must not interleave g++ output into
@@ -53,22 +49,33 @@ def shared_object_path() -> Optional[pathlib.Path]:
             tmp = f"{out}.{os.getpid()}.tmp"
             cmd = [
                 "g++", "-std=c++17", "-O3", "-march=native", "-fPIC",
-                "-shared", "-pthread", str(_SRC), "-o", tmp,
+                "-shared", "-pthread", str(src_path), "-o", tmp,
+                *extra_flags,
             ]
             try:
                 subprocess.run(
                     cmd, check=True, capture_output=True, timeout=120
                 )
                 os.replace(tmp, out)
-                log.info("built native decoder: %s", out)
+                log.info("built native %s: %s", stem, out)
             except (subprocess.SubprocessError, OSError) as e:
                 stderr = getattr(e, "stderr", b"")
                 log.warning(
-                    "native decoder build failed (%s); falling back to "
-                    "python entropy decode. stderr: %s",
-                    e, (stderr or b"").decode(errors="replace")[:500],
+                    "native %s build failed (%s); falling back. stderr: %s",
+                    stem, e,
+                    (stderr or b"").decode(errors="replace")[:500],
                 )
-                _BUILD_FAILED = True
+                _CACHED[stem] = None
                 return None
-        _CACHED_PATH = out
+        _CACHED[stem] = out
         return out
+
+
+def shared_object_path() -> Optional[pathlib.Path]:
+    """The xjpeg host entropy decoder .so (no external deps)."""
+    return _build("xjpeg_host")
+
+
+def oracle_object_path() -> Optional[pathlib.Path]:
+    """The libjpeg-turbo oracle shim .so (links the system -ljpeg)."""
+    return _build("jpeg_oracle", extra_flags=("-ljpeg",))

@@ -44,9 +44,10 @@ def build_pack_plan(
     k = mcus_per_segment or max(1, -(-n_mcus // SEGMENTS_PER_BATCH))
     nseg = -(-n_mcus // k)
 
-    # Start offset of each MCU = index of its first block (comp 0, sub 0,0).
+    # Start offset of each MCU = index of its first block: the FIRST SCAN
+    # component's (sub 0,0) block (pack_index is stored in frame order).
     c0 = comps[0]
-    idx0 = scan.pack_index[0]
+    idx0 = scan.pack_index[header.scan.comp_idx[0]]
     mby, mbx = np.divmod(np.arange(n_mcus), header.nhmb)
     mcu_starts = idx0[mby * c0.vsamp, mbx * c0.hsamp].astype(np.int64)
     bounds = np.concatenate([mcu_starts, [len(pack)]])

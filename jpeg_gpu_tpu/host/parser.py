@@ -220,14 +220,14 @@ def _parse_sos(r: _Reader, comps: List[Component], validate: bool) -> ScanHeader
             raise JpegFormatError(f"scan Huffman table id {td}/{ta} > 3")
         dc_tbl.append(td)
         ac_tbl.append(ta)
-    # T.81 B.2.3: scan components must follow frame-header order.  Every
-    # consumer pairs scan-ordered coefficients with frame-ordered
-    # components, so an out-of-order scan would silently swap planes --
-    # reject it outright.
-    if comp_idx != sorted(comp_idx):
-        raise JpegFormatError(
-            f"scan component order {comp_idx} does not follow the frame header"
-        )
+    # T.81 B.2.3 requires scan components in frame-header order.  We
+    # accept permuted scans (strictly MORE tolerant than libjpeg, which
+    # rejects them with "Invalid component ID in SOS" -- measured via
+    # the ctypes oracle): the MCU interleave follows ``comp_idx`` and
+    # every decoder emits its outputs reordered back to frame positions.
+    # Duplicates stay hard errors (no meaningful decode exists).
+    if len(set(comp_idx)) != len(comp_idx):
+        raise JpegFormatError(f"duplicate component in scan: {comp_idx}")
     ss, se, ahl = r.u8(), r.u8(), r.u8()
     if (ss, se, ahl) != (0, 63, 0):
         raise JpegUnsupportedError(

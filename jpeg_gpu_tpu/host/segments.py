@@ -70,7 +70,7 @@ class DeviceScanPlan:
     # suppress the spurious flags its padded tail steps raise -- error
     # flags are then exact for EVERY segment (corruption in the last
     # segment is detected; valid short tails are not blanked by salvage).
-    seg_meta: np.ndarray = None  # (3,) int32
+    seg_meta: np.ndarray  # (3,) int32
 
     @property
     def kernel_tables(self) -> Tuple[np.ndarray, ...]:

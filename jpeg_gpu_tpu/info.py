@@ -116,6 +116,22 @@ class ScanHeader:
     ac_tbl: Tuple[int, ...]
 
 
+def scan_to_frame_order(items: Sequence, comp_idx: Sequence[int]) -> list:
+    """Reorder per-scan-component products to frame-component positions.
+
+    The MCU interleave (and therefore every entropy decoder's natural
+    output order) follows the SOS component order, which T.81 B.2.3 says
+    must match the frame header but spec-violating streams may permute
+    (libjpeg rejects those; we decode them).  Every decode surface emits
+    frame order, so the reorder happens exactly once, here, at each
+    decoder's boundary.
+    """
+    out = [None] * len(items)
+    for si, fi in enumerate(comp_idx):
+        out[fi] = items[si]
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class JpegHeader:
     """Everything needed to decode one baseline JPEG (cf. jpeg_info.h:53-64)."""

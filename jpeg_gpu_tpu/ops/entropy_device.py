@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jpeg_gpu_tpu.info import scan_to_frame_order
 from jpeg_gpu_tpu.ops.zigzag import DEZIGZAG
 
 LANES = 128
@@ -62,6 +63,10 @@ ERR_BAD_CODE = 1
 ERR_OVERRUN = 2
 
 _MAX_CONSUME = 31  # code (<=16) + amplitude (<=15) bits per symbol
+
+# AC early-exit sync granularity for the compiled (unrolled) path; 0 until
+# scripts/probe_entropy_chunk.py measures a winner on real hardware.
+_DEFAULT_CHUNK = 0
 
 # Trace-time ablation switches for kernel profiling (scripts/ablate_*.py):
 # comma-separated tokens in JPEG_TPU_ENTROPY_ABLATE disable parts of the
@@ -96,6 +101,7 @@ def _entropy_kernel(
     # bound statically via functools.partial:
     unroll,          # bool: unrolled AC loop (compiled) vs fori (interpret)
     interleave,      # int: segment batches decoded per grid step (see below)
+    chunk,           # int: AC early-exit sync granularity (0 = never sync)
     # scalar prefetch (SMEM):
     imgmap_ref,      # (B,) int32: image index of segment batch b (tables
     #                  are per image -- corpus batches mix Huffman tables)
@@ -132,7 +138,7 @@ def _entropy_kernel(
     # interleave into the latency bubbles.
     for u in range(interleave):
         _decode_tile(
-            unroll, interleave, u, t, nw,
+            unroll, interleave, chunk, u, t, nw,
             imgmap_ref, comp_map_ref, dcslot_ref, acslot_ref, segmeta_ref,
             cbase3_ref, counts3_ref, stream_ref, symbols4_ref,
             out_ref, err_ref, state_ref,
@@ -140,7 +146,7 @@ def _entropy_kernel(
 
 
 def _decode_tile(
-    unroll, interleave, u, t, nw,
+    unroll, interleave, chunk, u, t, nw,
     imgmap_ref, comp_map_ref, dcslot_ref, acslot_ref, segmeta_ref,
     cbase3_ref, counts3_ref, stream_ref, symbols4_ref,
     out_ref, err_ref, state_ref,
@@ -351,13 +357,43 @@ def _decode_tile(
         # fixed 64-row sweep, the kernel's largest single cost.
         zero = jnp.zeros(SEG_SHAPE, jnp.int32)
         rows = [dc] + [zero] * 63
-        for i in range(63):
-            carry, newk, valw = ac_decode(carry)
-            if "noacc" in _ABLATE:
-                carry = carry[:-1] + (carry[-1] + valw,)
-            else:
-                for j in range(i + 1, 64):
-                    rows[j] = rows[j] + jnp.where(newk == j, valw, 0)
+
+        def run_iters(lo_i, hi_i, carry, rows):
+            rows = list(rows)
+            for i in range(lo_i, hi_i):
+                carry, newk, valw = ac_decode(carry)
+                if "noacc" in _ABLATE:
+                    carry = carry[:-1] + (carry[-1] + valw,)
+                else:
+                    for j in range(i + 1, 64):
+                        rows[j] = rows[j] + jnp.where(newk == j, valw, 0)
+            return carry, tuple(rows)
+
+        if chunk and chunk < 63:
+            # Chunked early exit: after the first ``chunk`` iterations run
+            # unconditionally (some lane is almost always active there),
+            # each further chunk runs under ONE scalar any-active sync for
+            # the whole (8, 128) batch.  Most blocks EOB within a few
+            # symbols, so with 1024 segments of similar density the later
+            # chunks skip entirely; the ~20x per-sync cost the dev notes
+            # measured is amortized over ``chunk`` iterations and the 63x
+            # worst case stops being the common case.
+            carry, rows = run_iters(0, chunk, carry, tuple(rows))
+            lo = chunk
+            while lo < 63:
+                hi_b = min(lo + chunk, 63)
+                anyact = jnp.max(carry[5]) > 0
+                carry, rows = jax.lax.cond(
+                    anyact,
+                    functools.partial(run_iters, lo, hi_b),
+                    lambda c, r: (c, r),
+                    carry, rows,
+                )
+                lo = hi_b
+            rows = list(rows)
+        else:
+            carry, rows = run_iters(0, 63, carry, tuple(rows))
+            rows = list(rows)
         # De-zig-zag for free: emit rows in natural order (a static
         # permutation of the register list at stack time).
         acc = jnp.stack([rows[int(z)] for z in DEZIGZAG])
@@ -419,6 +455,7 @@ def decode_segments_device_multi(
     interpret: bool | None = None,
     unroll: bool | None = None,
     interleave: int | None = None,
+    ac_chunk: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device entropy decode with per-image Huffman tables.
 
@@ -438,11 +475,22 @@ def decode_segments_device_multi(
     the bubbles.  Default: up to 4, bounded by B.  B is zero-padded to a
     multiple of U (padded batches decode a zero stream; their rows are
     sliced off before returning).
+
+    ``ac_chunk`` (unrolled path only) groups the 63 AC iterations into
+    chunks of that size; every chunk after the first runs under one
+    scalar any-active sync, so batches whose 1024 blocks all EOB early
+    skip the tail chunks.  0 disables.  Default: measured per
+    scripts/probe_entropy_chunk.py (see _DEFAULT_CHUNK), env
+    JPEG_TPU_ENTROPY_CHUNK overrides.  Outputs are bit-identical for
+    every value.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if unroll is None:
         unroll = not interpret
+    if ac_chunk is None:
+        env = os.environ.get("JPEG_TPU_ENTROPY_CHUNK")
+        ac_chunk = int(env) if env else (_DEFAULT_CHUNK if unroll else 0)
     b, nw = streams.shape[0], streams.shape[1]
     t = comp_map.shape[0]
     if interleave is None:
@@ -479,7 +527,7 @@ def decode_segments_device_multi(
         scratch_shapes=[pltpu.VMEM((u, 8, SUBLANES, LANES), jnp.int32)],
     )
     coefs, err = pl.pallas_call(
-        functools.partial(_entropy_kernel, unroll, u),
+        functools.partial(_entropy_kernel, unroll, u, int(ac_chunk)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bpad, t, 64, SUBLANES, LANES), jnp.int16),
@@ -508,6 +556,7 @@ def decode_segments_device(
     interpret: bool | None = None,
     unroll: bool | None = None,
     interleave: int | None = None,
+    ac_chunk: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-image device entropy decode (tables: DeviceScanPlan.kernel_tables).
 
@@ -523,6 +572,7 @@ def decode_segments_device(
         interpret=interpret,
         unroll=unroll,
         interleave=interleave,
+        ac_chunk=ac_chunk,
     )
 
 
@@ -533,11 +583,17 @@ def assemble_components(
     n_mcus: int,
     nhmb: int,
     nvmb: int,
-    comp_geometry: Tuple[Tuple[int, int], ...],  # per comp (hsamp, vsamp)
+    comp_geometry: Tuple[Tuple[int, int], ...],  # per SCAN comp (hsamp, vsamp)
     soa: bool = False,
     force_general: bool = False,
+    frame_order: Optional[Tuple[int, ...]] = None,
 ):
     """XLA post-pass: kernel output -> per-component coefficient tensors.
+
+    ``comp_geometry`` follows the scan's component order (the MCU
+    interleave).  ``frame_order`` (the scan's ``comp_idx``) reorders the
+    output tuple to frame positions for spec-violating out-of-order
+    scans; None means scan order == frame order.
 
     Default layout is (vb, hb, 8, 8) blocks (the QUANT-stage contract).
     With ``soa=True`` each component instead comes out as parity-split
@@ -575,6 +631,8 @@ def assemble_components(
             yc = x[off : off + nb].reshape(vs, hs, 64, nvmb, nhmb)
             off += nb
             out.append(yc)
+        if frame_order is not None:
+            out = scan_to_frame_order(out, frame_order)
         return tuple(out)
     x = kernel_out.reshape(b, t, 64, SUBLANES * LANES)
     x = x.transpose(0, 3, 1, 2).reshape(nseg_slots, t, 64)[:n_segments]
@@ -598,4 +656,6 @@ def assemble_components(
             yc = yc.transpose(0, 2, 1, 3, 4)              # (nvmb, vs, nhmb, hs, 64)
             yc = yc.reshape(nvmb * vs, nhmb * hs, 64)
             out.append(yc.reshape(nvmb * vs, nhmb * hs, 8, 8))
+    if frame_order is not None:
+        out = scan_to_frame_order(out, frame_order)
     return tuple(out)

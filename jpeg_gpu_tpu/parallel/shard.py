@@ -189,10 +189,134 @@ def decode_batch_sharded(
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def decode_corpus_device_sharded(
+    spec: PipelineSpec,
+    mesh: Mesh,
+    meta: Tuple,  # (b1, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb,
+    #               geom, frame_order, salvage)
+    streams: jax.Array,      # (NI*B1, NW, 8, 128); NI % (data*space) == 0
+    maps: Tuple[jax.Array, ...],   # (comp_map, dcslot, acslot), replicated
+    local_seg_meta: jax.Array,     # (NI/(data*space), 3) shard-LOCAL last-
+    #                                segment meta (identical on every shard:
+    #                                bucket images share geometry)
+    tables: Tuple[jax.Array, ...],  # (cbase, counts, symbols), leading NI
+    qtables: Tuple[jax.Array, ...],  # per comp, leading NI axis
+):
+    """Distributed fully-on-device corpus decode (BASELINE config #4's
+    full shape: corpus sharded across chips WITH device entropy).
+
+    Images shard over the flattened (data, space) grid for the entropy
+    stage -- restart segments of one image never cross chips, so the
+    Huffman kernel runs collective-free.  Coefficients then all_gather
+    over ``space`` (the ICI hop), and the pixel stage splits each image's
+    MCU block rows over ``space`` while images stay sharded over
+    ``data``.  With space=1 this degenerates to communication-free pure
+    data parallelism.
+
+    Returns (rgb, err): rgb (NI, Hpad, Wpad, 3) uint8 -- callers crop to
+    (H, W); err (NI*B1, 8, 128) per-segment flags.
+    """
+    from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
+    from jpeg_gpu_tpu.ops import entropy_device
+
+    (
+        b1, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
+        frame_order, salvage,
+    ) = meta
+    space = mesh.shape[SPACE_AXIS]
+    fg = fused_rgb_geometry(spec)
+    for hs, vs in geom:
+        if (nvmb * vs) % space:
+            raise ValueError(
+                f"MCU rows ({nvmb}, x{vs} blocks) not divisible by the "
+                f"space axis ({space}); use a smaller space axis"
+            )
+
+    def step(streams, maps, local_seg_meta, tables, qtables):
+        comp_map, dcslot, acslot = maps
+        cbase, counts, symbols = tables
+        ni_loc = streams.shape[0] // b1  # images on this chip
+        imgmap = jnp.repeat(
+            jnp.arange(ni_loc, dtype=jnp.int32), b1, total_repeat_length=ni_loc * b1
+        )
+        out, err = entropy_device.decode_segments_device_multi(
+            streams, imgmap, comp_map, dcslot, acslot, local_seg_meta,
+            cbase, counts, symbols,
+        )
+        if salvage:
+            # Corrupt segments decode to zero coefficients; the damage
+            # stays inside the restart boundary (on_error="zero").
+            out = jnp.where((err != 0)[:, None, None], jnp.int16(0), out)
+        # ICI hop: every chip in this data column collects the column's
+        # images (space shards of the entropy work).
+        outg = jax.lax.all_gather(out, SPACE_AXIS, axis=0, tiled=True)
+        ni_col = ni_loc * space
+        per_image = outg.reshape((ni_col, b1) + outg.shape[1:])
+
+        def assemble_one(one):
+            return entropy_device.assemble_components(
+                one, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
+                soa=fg is not None, frame_order=frame_order,
+            )
+
+        comps = jax.vmap(assemble_one)(per_image)
+        sidx = jax.lax.axis_index(SPACE_AXIS)
+        if fg is not None:
+            from jpeg_gpu_tpu.ops import pixel_fused
+
+            sx, sy = fg
+            rows = comps[0].shape[-2] // space
+            y, cb, cr = (
+                jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=-2)
+                for c in comps
+            )
+            qty = qtables[0].reshape(-1, 64)
+            qtc = jnp.stack(
+                [qtables[1].reshape(-1, 64), qtables[2].reshape(-1, 64)],
+                axis=1,
+            )
+            rgb = pixel_fused.decode_rgb_fused_soa(
+                y,
+                cb.reshape(ni_col, 64, rows, -1),
+                cr.reshape(ni_col, 64, rows, -1),
+                qty, qtc, sx, sy,
+            )
+            rgb = rgb[:, : rows * sy * 8]
+        else:
+            local = []
+            for c in comps:
+                vb = c.shape[1]
+                rows = vb // space
+                local.append(
+                    jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=1)
+                )
+            rgb = _local_decode_rgb(spec, tuple(local), qtables)
+        return rgb, err
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P((DATA_AXIS, SPACE_AXIS)),
+            P(),
+            P(),
+            P((DATA_AXIS, SPACE_AXIS)),
+            P(DATA_AXIS),
+        ),
+        out_specs=(
+            P(DATA_AXIS, SPACE_AXIS),
+            P((DATA_AXIS, SPACE_AXIS)),
+        ),
+        check_rep=False,
+    )(streams, maps, local_seg_meta, tables, qtables)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def decode_image_device_sharded(
     spec: PipelineSpec,
     mesh: Mesh,
-    assemble_args: Tuple,   # (n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom)
+    assemble_args: Tuple,   # (n_segments, mcus_per_segment, n_mcus, nhmb,
+    #                            nvmb, geom, frame_order)
     streams: jax.Array,     # (B, NW, 8, 128) int32, B divisible by data axis
     plan_tables: Tuple[jax.Array, ...],  # DeviceScanPlan.kernel_tables
     qtables: Tuple[jax.Array, ...],
@@ -209,7 +333,9 @@ def decode_image_device_sharded(
     from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
     from jpeg_gpu_tpu.ops import entropy_device
 
-    n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom = assemble_args
+    n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom, frame_order = (
+        assemble_args
+    )
     space = mesh.shape[SPACE_AXIS]
     fg = fused_rgb_geometry(spec)
     # Every component's block rows must split evenly over the space axis,
@@ -245,7 +371,7 @@ def decode_image_device_sharded(
         err = jax.lax.all_gather(err, DATA_AXIS, axis=0, tiled=True)
         comps = entropy_device.assemble_components(
             out, n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom,
-            soa=fg is not None,
+            soa=fg is not None, frame_order=frame_order,
         )
         # Spatial split: this chip's MCU block-row slice of every plane.
         sidx = jax.lax.axis_index(SPACE_AXIS)

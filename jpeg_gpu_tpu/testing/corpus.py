@@ -75,6 +75,7 @@ def own_jpeg(
     quality: int = 85,
     restart_interval: int = 0,
     force_16bit_qt: bool = False,
+    scan_order=None,
 ) -> EncodeResult:
     return encode(
         image,
@@ -82,4 +83,5 @@ def own_jpeg(
         quality=quality,
         restart_interval=restart_interval,
         force_16bit_qt=force_16bit_qt,
+        scan_order=scan_order,
     )

@@ -272,6 +272,11 @@ SAMPLING: Dict[str, Sequence[Tuple[int, int]]] = {
     # MCUs).  All-zero decimations make it indistinguishable from 4:4:4 by
     # decimation alone -- regression fixture for sampling-factor handling.
     "4:4:4-2x2": [(2, 2), (2, 2), (2, 2)],
+    # vsamp=4 corners (the parser accepts 1/2/4 on both axes like the
+    # reference, xjpeg.c:386,391; no common encoder emits these).
+    "h1v4": [(1, 4), (1, 1), (1, 1)],
+    "h4v4": [(4, 4), (1, 1), (1, 1)],
+    "h2v4": [(2, 4), (1, 1), (1, 1)],
 }
 
 
@@ -291,8 +296,15 @@ def encode(
     restart_interval: int = 0,
     force_16bit_qt: bool = False,
     qtables: Optional[Sequence[np.ndarray]] = None,
+    scan_order: Optional[Sequence[int]] = None,
 ) -> EncodeResult:
-    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image."""
+    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image.
+
+    ``scan_order`` permutes the SOS component order (and therefore the
+    MCU interleave) -- a T.81 B.2.3 violation; libjpeg rejects such
+    streams but our decoders accept and reorder.  Fixture for that
+    tolerance.  Ground-truth ``coefs`` stay in frame order.
+    """
     if image.ndim == 2:
         subsampling = "mono"
         planes = [image]
@@ -382,6 +394,10 @@ def encode(
         if k <= 63:
             yield False, 0x00, (0, 0)  # EOB
 
+    if scan_order is None:
+        scan_order = tuple(range(ncomps))
+    assert sorted(scan_order) == list(range(ncomps))
+
     def iterate_scan(emit):
         """Walk the interleaved scan; emit(ci, is_dc, sym, (val, size))."""
         preds = [0] * ncomps
@@ -390,7 +406,7 @@ def encode(
                 emit_restart(mcu // interval - 1)
                 preds = [0] * ncomps
             mby, mbx = divmod(mcu, nhmb)
-            for ci in range(ncomps):
+            for ci in scan_order:
                 hs, vs = samp[ci]
                 for sby, sbx in scan_blocks(ci):
                     vec = zz[ci][mby * vs + sby, mbx * hs + sbx]
@@ -483,7 +499,7 @@ def encode(
         marker(0xDD, interval.to_bytes(2, "big"))
     # SOS
     sos = bytes([ncomps])
-    for ci in range(ncomps):
+    for ci in scan_order:
         t = tab_of[ci]
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])

@@ -1,51 +1,75 @@
-"""Randomized TPU-vs-host differential sweep on the real chip.
+"""Randomized TPU-vs-host differential sweep on the real chip -> SWEEP_r*.json.
 
 The CPU test suite exercises the Pallas kernels only in interpret mode
 (CLAUDE.md); this sweep drives the COMPILED fused pixel + entropy kernels
 across random geometries, qualities, subsampling modes, restart intervals
-and encoders, asserting impl="tpu" == impl="host" everywhere and
-== impl="pil" for the always-bit-exact modes (grayscale, 4:4:4).
+and encoders, asserting:
 
-Each distinct geometry compiles (~30-90 s first run); expect ~20-40 min
-for the default 20 configs.  Run solo -- compiles contend for the single
-CPU core.
+* impl="tpu" == impl="host" for every config (nearest + fancy),
+* == impl="pil" for the always-bit-exact modes (grayscale, 4:4:4) and for
+  every subsampled config decoded with upsample="fancy" (the libjpeg
+  default pipeline parity contract),
+* entropy="device" (the compiled entropy kernel, incl. chunked early-exit
+  when enabled) == host entropy on restart-interval streams.
 
-Usage: python scripts/sweep_differential.py [n_configs] [seed]
+Writes a JSON artifact (configs, pass/fail, output checksums) so each
+round records proof that the bytes serving on the TPU match the host
+reference -- the role of the reference's designed-in differential duality
+(jpeg_gpu.c:546-557), automated.
+
+Each distinct geometry compiles (~30-90 s first run; cached after), so the
+default 14 configs keep the run bounded (~15 min warm cache).  Run solo --
+compiles contend for the single CPU core.
+
+Usage: python scripts/sweep_differential.py [n_configs] [seed] [out.json]
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
+def _checksum(arr) -> str:
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+
+
 def main() -> int:
     import jax
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(repo, ".jax_cache")
     )
-    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import jpeg_gpu_tpu as jt
     from jpeg_gpu_tpu.testing import corpus
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 2026
+    out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        repo, "SWEEP_r02.json"
+    )
     rng = np.random.default_rng(seed)
     modes = ["4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
+    records = []
     fails = 0
+    t_start = time.time()
     for i in range(n):
         h = int(rng.integers(9, 230))
         w = int(rng.integers(9, 230))
         q = int(rng.integers(30, 97))
         gray = bool(rng.integers(0, 3) == 0)
         r = int(rng.integers(0, 4))
+        fancy = bool(rng.integers(0, 2))
         if gray:
             mode = "gray"
             img = corpus.synthetic_gray(h, w, seed=i)
@@ -62,18 +86,51 @@ def main() -> int:
                 data = corpus.pil_jpeg(
                     img, quality=q, subsampling=mode, restart_marker_blocks=r
                 )
-        tag = f"[{i:02d}] {h}x{w} q{q} {mode} r{r}"
+        ups = "fancy" if fancy else "nearest"
+        cfg = {
+            "i": i, "h": h, "w": w, "q": q, "mode": mode, "restart": r,
+            "upsample": ups,
+        }
+        tag = f"[{i:02d}] {h}x{w} q{q} {mode} r{r} {ups}"
+        checks = {}
         try:
-            tpu = jt.decode(data, impl="tpu")
-            ok = np.array_equal(tpu, jt.decode(data, impl="host"))
-            if ok and mode in ("gray", "4:4:4"):
-                ok = np.array_equal(tpu, jt.decode(data, impl="pil"))
-            fails += not ok
-            print(f"{tag}: {'OK' if ok else 'MISMATCH'}", flush=True)
+            tpu = jt.decode(data, impl="tpu", upsample=ups)
+            host = jt.decode(data, impl="host", upsample=ups)
+            checks["tpu_eq_host"] = bool(np.array_equal(tpu, host))
+            # libjpeg parity: always for gray/4:4:4; for subsampled modes
+            # the fancy path is the bit-exact contract (4:1:1 fancy is
+            # nearest-replication by definition on both sides).
+            if mode in ("gray", "4:4:4") or (fancy and mode != "4:1:1"):
+                checks["tpu_eq_libjpeg"] = bool(
+                    np.array_equal(tpu, jt.decode(data, impl="pil"))
+                )
+            if r > 0 or mode in ("4:4:0", "4:1:1"):  # stream has restarts
+                dev = jt.decode(
+                    data, impl="tpu", entropy="device", upsample=ups
+                )
+                checks["device_entropy_eq"] = bool(np.array_equal(dev, tpu))
+            ok = all(checks.values())
+            checks["rgb_sha"] = _checksum(tpu)
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
-            fails += 1
-            print(f"{tag}: ERROR {type(e).__name__}: {e}", flush=True)
-    print(f"sweep done: {n - fails}/{n} OK", flush=True)
+            ok = False
+            checks["error"] = f"{type(e).__name__}: {e}"
+        fails += not ok
+        records.append({**cfg, **checks, "ok": ok})
+        print(f"{tag}: {'OK' if ok else 'FAIL ' + str(checks)}", flush=True)
+
+    artifact = {
+        "n": n,
+        "seed": seed,
+        "passed": n - fails,
+        "failed": fails,
+        "wall_s": round(time.time() - t_start, 1),
+        "backend": jax.default_backend(),
+        "entropy_chunk_env": os.environ.get("JPEG_TPU_ENTROPY_CHUNK"),
+        "configs": records,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"sweep done: {n - fails}/{n} OK -> {out_path}", flush=True)
     return 1 if fails else 0
 
 

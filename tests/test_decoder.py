@@ -186,12 +186,13 @@ def test_scan_huffman_slot_out_of_range_rejected():
         parse(bad, validate=False)
 
 
-def test_scan_component_order_must_follow_frame():
-    """T.81 B.2.3: out-of-order scan components would silently swap
-    planes in every consumer -- rejected outright."""
-    import pytest
-
-    from jpeg_gpu_tpu.errors import JpegFormatError
+def test_scan_component_order_permutation_accepted():
+    """T.81 B.2.3 violation: permuted SOS order is ACCEPTED (and
+    reordered to frame positions) -- see tests/test_scan_order.py for
+    the full differential coverage.  Note the entropy stream here was
+    encoded in frame order, so the permuted header misdescribes the
+    interleave for same-sampling components; the parse itself must
+    succeed and record the scan order."""
     from jpeg_gpu_tpu.host.parser import parse
 
     img = corpus.synthetic_rgb(16, 16, seed=3)
@@ -202,9 +203,9 @@ def test_scan_component_order_must_follow_frame():
     assert ns == 3
     entries = [data[pos + 2 * k : pos + 2 * k + 2] for k in range(3)]
     swapped = entries[1] + entries[0] + entries[2]
-    bad = data[:pos] + swapped + data[pos + 6 :]
-    with pytest.raises(JpegFormatError):
-        parse(bad)
+    permuted = data[:pos] + swapped + data[pos + 6 :]
+    parsed = parse(permuted)
+    assert tuple(parsed.header.scan.comp_idx) == (1, 0, 2)
 
 
 def test_gray_with_sampling_factors_decodes_non_interleaved():
@@ -221,3 +222,35 @@ def test_gray_with_sampling_factors_decodes_non_interleaved():
     np.testing.assert_array_equal(got, ref)
     got_py = decode(bad, out="rgb", impl="host", entropy="python")
     np.testing.assert_array_equal(got_py, ref)
+
+
+def test_io_bytes_accounting():
+    """Bytes-shipped per stage cut (the reference's img.packed variable):
+    pack upload < coef upload for sparse content; device-entropy ships
+    the destuffed words; host/pil impls ship nothing."""
+    from jpeg_gpu_tpu.engine.decoder import get_decoder
+
+    img = corpus.synthetic_gray(64, 64, seed=21)
+    enc = corpus.own_jpeg(img, quality=50, restart_interval=1)
+
+    dec = get_decoder(enc.data, impl="tpu")
+    io_coefs = dec.io_bytes("rgb")
+    assert io_coefs["payload"] == "host"
+    vb = hb = 8
+    assert io_coefs["upload"] == vb * hb * 64 * 2
+    assert io_coefs["download"] == 64 * 64 * 3
+    assert dec.io_bytes("quant")["download"] == io_coefs["upload"]
+    assert dec.io_bytes("dct")["download"] == 2 * io_coefs["upload"]
+
+    dec_pack = get_decoder(enc.data, impl="tpu", upload="pack")
+    io_pack = dec_pack.io_bytes("rgb")
+    assert io_pack["payload"] == "pack"
+    assert 0 < io_pack["upload"] < io_coefs["upload"]
+
+    dec_dev = get_decoder(enc.data, impl="tpu", entropy="device")
+    io_dev = dec_dev.io_bytes("rgb")
+    assert io_dev["payload"] == "bits"
+    assert io_dev["upload"] > 0
+
+    assert get_decoder(enc.data, impl="host").io_bytes("rgb")["upload"] == 0
+    assert get_decoder(enc.data, impl="pil").io_bytes("rgb")["upload"] == 0

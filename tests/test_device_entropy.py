@@ -219,3 +219,22 @@ def test_assemble_soa_r1_fast_path(geom, nvmb, nhmb, b):
     )
     for a, r in zip(fast, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+@pytest.mark.parametrize("chunk", [9])
+def test_unrolled_chunked_early_exit_bit_identical(chunk):
+    """The chunked early-exit form of the UNROLLED AC loop (the compiled
+    TPU path's structure: run_iters chunks under lax.cond any-active
+    syncs) produces bit-identical coefficients.  Interpret mode at a tiny
+    geometry keeps the 63x-unrolled trace affordable; the compiled form
+    at serving shapes is covered by scripts/sweep_differential.py and
+    scripts/probe_entropy_chunk.py on real hardware."""
+    img = corpus.synthetic_gray(16, 24, seed=17)
+    enc = corpus.own_jpeg(img, quality=70, restart_interval=1)
+    parsed = parse(enc.data)
+    ref = entropy.decode_scan(parsed)
+    res = entropy_decode_device(
+        parsed, interpret=True, unroll=True, ac_chunk=chunk
+    )
+    for a, b in zip(res.coefs, ref.coefs):
+        np.testing.assert_array_equal(np.asarray(a), b.astype(np.int16))

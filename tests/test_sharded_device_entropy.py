@@ -50,3 +50,46 @@ def test_sharded_multibatch_short_last_segment():
     rgb = decode_image_device_sharded(parsed, mesh)
     ref = decode(data, out="rgb", impl="host")
     np.testing.assert_array_equal(rgb, ref)
+
+
+@pytest.mark.parametrize("space", [1, 2])
+def test_sharded_corpus_device_decode_matches_host(space):
+    """decode_batch(mesh=..., entropy='device'): the full BASELINE
+    config #4 shape -- distinct images (per-image optimized tables),
+    entropy sharded over the chip grid, pixel rows over space."""
+    from jpeg_gpu_tpu.engine.batch import decode_batch
+
+    datas = [
+        corpus.pil_jpeg(
+            corpus.synthetic_rgb(64, 64, seed=200 + i),
+            quality=85,
+            subsampling="4:2:0",
+            optimize=True,
+            restart_marker_blocks=1,
+        )
+        for i in range(6)  # not a multiple of 8 chips: exercises padding
+    ]
+    mesh = make_mesh(8, space=space)
+    got = decode_batch(datas, mesh=mesh, entropy="device")
+    want = decode_batch(datas, entropy="host")
+    assert len(got) == len(want) == 6
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_corpus_device_decode_gray_general_path():
+    from jpeg_gpu_tpu.engine.batch import decode_batch
+
+    datas = [
+        corpus.pil_jpeg(
+            corpus.synthetic_gray(48, 64, seed=300 + i),
+            quality=80,
+            restart_marker_blocks=1,
+        )
+        for i in range(4)
+    ]
+    mesh = make_mesh(4, space=2)
+    got = decode_batch(datas, mesh=mesh, entropy="device")
+    want = decode_batch(datas, entropy="host")
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
