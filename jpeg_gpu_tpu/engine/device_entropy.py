@@ -18,7 +18,11 @@ import numpy as np
 
 from jpeg_gpu_tpu.errors import JpegFormatError
 from jpeg_gpu_tpu.host.parser import ParsedJpeg
-from jpeg_gpu_tpu.host.segments import DeviceScanPlan, build_plan
+from jpeg_gpu_tpu.host.segments import (
+    DeviceScanPlan,
+    build_plan,
+    build_plan_auto,
+)
 from jpeg_gpu_tpu.ops import entropy_device
 
 
@@ -52,7 +56,7 @@ def entropy_decode_device(
     if on_error not in ("raise", "zero"):
         raise ValueError(f"on_error must be 'raise' or 'zero', got {on_error!r}")
     header = parsed.header
-    plan = build_plan(parsed)
+    plan = build_plan_auto(parsed)
     comp_geometry = tuple(
         (header.components[i].hsamp, header.components[i].vsamp)
         for i in header.scan.comp_idx
@@ -65,6 +69,20 @@ def entropy_decode_device(
         interleave=interleave,
         ac_chunk=ac_chunk,
     )
+    if plan.dc_base is not None:
+        # DRI-less pseudo segments: restore the DC predictor continuation
+        # the index scan recorded (before salvage, so zeroed segments stay
+        # flat gray).
+        nbatch = kernel_out.shape[0]
+        dcb = np.zeros(
+            (nbatch * 8 * 128, plan.dc_base.shape[1]), dtype=np.int32
+        )
+        dcb[: plan.n_segments] = plan.dc_base
+        kernel_out = entropy_device.apply_dc_base(
+            kernel_out,
+            jnp.asarray(dcb.reshape(nbatch, 8, 128, -1)),
+            jnp.asarray(plan.comp_of_step),
+        )
     if on_error == "zero":
         # Blank flagged segments: the damage stays inside the restart
         # boundary instead of failing the whole image.

@@ -130,15 +130,18 @@ def decode_rgb(spec: PipelineSpec, coefs, qtables):
 def fused_rgb_geometry(spec: PipelineSpec):
     """(sx, sy) for the fused SoA RGB kernel, or None when not applicable.
 
-    The fused path covers the exact + nearest-upsample RGB decode of
-    3-component images whose chroma planes share one decimation (all six
-    standard subsampling modes).  Interpret mode (CPU backend) is excluded
-    -- the 4000-op kernel body is impractically slow to emulate; the
-    unfused XLA pipeline produces bit-identical pixels there.
+    The fused path covers the exact RGB decode of 3-component images
+    whose chroma planes share one decimation (all six standard
+    subsampling modes), for BOTH upsample modes: nearest is static phase
+    selection; fancy runs the bit-exact triangle filters in-kernel
+    (pixel_fused.py) when the width fits one horizontal tile.  Interpret
+    mode (CPU backend) is excluded -- the 4000-op kernel body is
+    impractically slow to emulate; the unfused XLA pipeline produces
+    bit-identical pixels there.
     """
     if spec.ncomps != 3 or not spec.exact or not spec.use_pallas:
         return None
-    if spec.upsample != "nearest":
+    if spec.upsample not in ("nearest", "fancy"):
         return None
     if jax.default_backend() == "cpu":
         return None
@@ -148,6 +151,12 @@ def fused_rgb_geometry(spec: PipelineSpec):
     sx, sy = 1 << c1[0], 1 << c1[1]
     if sx not in (1, 2, 4) or sy not in (1, 2):
         return None
+    if spec.upsample == "fancy" and (sx, sy) in ((2, 2), (2, 1), (1, 2)):
+        # In-kernel triangle filters: one-lane-shift neighbors cannot
+        # cross horizontal tile seams, so the chroma grid must fit one
+        # tile (hbC <= 256; wider falls back to the unfused pipeline).
+        if -(-spec.width // (8 * sx)) > 256:
+            return None
     # The SoA plane shapes are built from the raw sampling factors, so the
     # kernel's layout assumption is luma (sx, sy) and chroma (1, 1) exactly
     # -- decimations alone cannot distinguish e.g. 2x2/2x2/2x2 (all-zero
@@ -185,7 +194,14 @@ def decode_rgb_soa(spec: PipelineSpec, geom, comps_soa, qtables):
     qtc = jnp.stack(
         [qtables[1].reshape(-1, 64), qtables[2].reshape(-1, 64)], axis=1
     )
-    rgb = pixel_fused.decode_rgb_fused_soa(y_soa, cb, cr, qty, qtc, sx, sy)
+    # Fancy differs from nearest only for the true 2x modes; (1,1) is an
+    # identity either way and 4:1:1 fancy is replication by definition.
+    fancy = spec.upsample == "fancy" and (sx, sy) in ((2, 2), (2, 1), (1, 2))
+    rgb = pixel_fused.decode_rgb_fused_soa(
+        y_soa, cb, cr, qty, qtc, sx, sy,
+        fancy=fancy,
+        chroma_true=spec.comp_sizes[1] if fancy else None,
+    )
     return rgb[..., : spec.height, : spec.width, :]
 
 

@@ -110,6 +110,34 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),       # out_max_destuffed (or NULL)
             ctypes.c_int32,                       # n_threads
         ]
+        lib.xjpeg_index_scan.restype = ctypes.c_int32
+        lib.xjpeg_index_scan.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.c_int64,                       # seg_start
+            ctypes.c_int64,                       # seg_end
+            ctypes.c_char_p,                      # huff_counts
+            ctypes.c_char_p,                      # huff_symbols
+            ctypes.c_char_p,                      # huff_present
+            ctypes.POINTER(_ScanConfig),
+            ctypes.c_int64,                       # interval (MCUs/pseudo-seg)
+            ctypes.c_void_p,                      # out_bitpos i64
+            ctypes.c_void_p,                      # out_dc i32
+            ctypes.POINTER(ctypes.c_int64),       # out_end
+        ]
+        lib.xjpeg_pack_streams_bits.restype = ctypes.c_int32
+        lib.xjpeg_pack_streams_bits.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.c_int64,                       # seg_start
+            ctypes.c_int64,                       # seg_end
+            ctypes.c_void_p,                      # bitpos i64
+            ctypes.c_int64,                       # nseg
+            ctypes.c_int64,                       # end_bit
+            ctypes.c_int64,                       # row_bytes
+            ctypes.c_void_p,                      # mat
+            ctypes.c_int32,                       # n_threads
+        ]
         _lib = lib
         return lib
 
@@ -309,3 +337,93 @@ def pack_streams(
     )
     if rc != 0:
         raise JpegFormatError(f"native pack failed: {_ERROR_NAMES.get(rc, rc)}")
+
+
+def _tables_and_config(header, scan) -> tuple:
+    """(counts, symbols, present, cfg) for the native calls, scan order."""
+    counts = np.zeros((8, 16), dtype=np.uint8)
+    symbols = np.zeros((8, 256), dtype=np.uint8)
+    present = np.zeros(8, dtype=np.uint8)
+    for slot, spec in enumerate(
+        list(header.dc_tables) + list(header.ac_tables)
+    ):
+        if spec is None:
+            continue
+        counts[slot] = spec.counts
+        symbols[slot, : len(spec.symbols)] = spec.symbols
+        present[slot] = 1
+    cfg = _ScanConfig()
+    cfg.ncomps = len(scan.comp_idx)
+    cfg.nhmb = header.nhmb
+    cfg.nvmb = header.nvmb
+    cfg.restart_interval = header.restart_interval
+    comps = [header.components[i] for i in scan.comp_idx]
+    for ci, comp in enumerate(comps):
+        cfg.hsamp[ci] = comp.hsamp
+        cfg.vsamp[ci] = comp.vsamp
+        cfg.dc_tbl[ci] = scan.dc_tbl[ci]
+        cfg.ac_tbl[ci] = scan.ac_tbl[ci]
+    return counts, symbols, present, cfg
+
+
+def index_scan(
+    parsed: ParsedJpeg, interval: int
+) -> tuple:
+    """DRI-less pseudo-segmentation: Huffman-walk code lengths only.
+
+    Returns (bitpos, dc_base, end_bit): destuffed-stream bit offset and
+    per-component DC predictor entering each pseudo segment of
+    ``interval`` MCUs, plus the scan's total bit length.  Serial (the
+    stream is one dependency chain); the coefficient decode then runs
+    restart-parallel on the device (xjpeg_host.cpp:xjpeg_index_scan).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    header = parsed.header
+    scan = header.scan
+    if scan is None:
+        raise JpegFormatError("no scan to decode")
+    if len(parsed.segments) != 1:
+        raise ValueError("index_scan is for single-segment (no-DRI) streams")
+    counts, symbols, present, cfg = _tables_and_config(header, scan)
+    s0, e0 = parsed.segments[0]
+    nseg = -(-header.n_mcus // interval)
+    bitpos = np.zeros(nseg, dtype=np.int64)
+    dc_base = np.zeros((nseg, cfg.ncomps), dtype=np.int32)
+    end = ctypes.c_int64(0)
+    rc = lib.xjpeg_index_scan(
+        parsed.data, len(parsed.data), s0, e0,
+        counts.tobytes(), symbols.tobytes(), present.tobytes(),
+        ctypes.byref(cfg), interval,
+        bitpos.ctypes.data_as(ctypes.c_void_p),
+        dc_base.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(end),
+    )
+    if rc != 0:
+        raise JpegFormatError(
+            f"native index scan failed: {_ERROR_NAMES.get(rc, rc)}"
+        )
+    return bitpos, dc_base, int(end.value)
+
+
+def pack_streams_bits(
+    parsed: ParsedJpeg, bitpos: np.ndarray, end_bit: int, mat: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> None:
+    """Pack pseudo segments bit-aligned: row si of ``mat`` holds the
+    destuffed bytes starting at bitpos[si], left-shifted to bit 0."""
+    lib = _load()
+    assert lib is not None
+    assert mat.dtype == np.uint8 and mat.flags.c_contiguous
+    s0, e0 = parsed.segments[0]
+    rc = lib.xjpeg_pack_streams_bits(
+        parsed.data, len(parsed.data), s0, e0,
+        bitpos.ctypes.data_as(ctypes.c_void_p), len(bitpos),
+        end_bit, mat.shape[1], mat.ctypes.data_as(ctypes.c_void_p),
+        n_threads if n_threads is not None else default_threads(),
+    )
+    if rc != 0:
+        raise JpegFormatError(
+            f"native bit pack failed: {_ERROR_NAMES.get(rc, rc)}"
+        )

@@ -72,6 +72,13 @@ class DeviceScanPlan:
     # segment is detected; valid short tails are not blanked by salvage).
     seg_meta: np.ndarray  # (3,) int32
 
+    # DRI-less streams only (build_plan_no_dri): per-PSEUDO-segment DC
+    # predictor bases, (n_segments, ncomps) int32.  Unlike real restart
+    # segments, DC prediction does not reset at pseudo boundaries; the
+    # kernel decodes each from 0 and the device adds these back
+    # (entropy_device.apply_dc_base).  None for real restart streams.
+    dc_base: "np.ndarray | None" = None
+
     @property
     def kernel_tables(self) -> Tuple[np.ndarray, ...]:
         """Args for decode_segments_device after the streams tensor."""
@@ -153,6 +160,55 @@ def _check_nw(max_destuffed_bytes: int, max_words: int) -> int:
     return nw
 
 
+def _step_maps(header, scan, interval: int):
+    """Per-block-step (comp, dc slot, ac slot) maps for one segment.
+
+    Identical for every segment: the interleaved MCU order (components in
+    scan order, sub-blocks row-major), repeated ``interval`` times.
+    """
+    comp_steps: List[int] = []
+    dc_steps: List[int] = []
+    ac_steps: List[int] = []
+    comps = [header.components[i] for i in scan.comp_idx]
+    per_mcu = []
+    for ci, comp in enumerate(comps):
+        per_mcu.extend(
+            [(ci, scan.dc_tbl[ci], scan.ac_tbl[ci])] * (comp.hsamp * comp.vsamp)
+        )
+    for _ in range(interval):
+        for ci, dc, ac in per_mcu:
+            comp_steps.append(ci)
+            dc_steps.append(dc)
+            ac_steps.append(ac + 4)  # AC tables in slots 4..7
+    return comp_steps, dc_steps, ac_steps, len(per_mcu)
+
+
+def _table_tensors(header):
+    """Canonical-rank decode tensors: slots 0..3 DC, 4..7 AC.
+
+    Unused slots decode every window to rank 0 -> the invalid-marker
+    entry (len=31) -> flagged; their counts slot 16 is INT32_MIN so every
+    window flags as invalid.
+    """
+    n_tables = 8
+    cbase = np.zeros((n_tables, 16), dtype=np.int32)
+    counts = np.zeros((n_tables, 17), dtype=np.int32)
+    counts[:, 16] = np.iinfo(np.int32).min
+    symbols = np.full(
+        (n_tables, SUBLANES, LANES),
+        np.int32((31 << 8) | (31 << 24)),
+        dtype=np.int32,
+    )
+    for slot, spec in enumerate(list(header.dc_tables) + list(header.ac_tables)):
+        if spec is None:
+            continue
+        b_, c_, s_ = _decode_tables(spec)
+        cbase[slot] = b_
+        counts[slot] = c_
+        symbols[slot] = s_
+    return cbase, counts, symbols
+
+
 def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     """Pack a parsed JPEG into the device decoder's input layout."""
     header = parsed.header
@@ -216,42 +272,8 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     ).view(np.int32)
     streams = streams.reshape(nbatch, nw, SUBLANES, LANES)
 
-    # Block-step maps (identical for every segment: interleaved MCU order).
-    comp_steps: List[int] = []
-    dc_steps: List[int] = []
-    ac_steps: List[int] = []
-    comps = [header.components[i] for i in scan.comp_idx]
-    per_mcu = []
-    for ci, comp in enumerate(comps):
-        per_mcu.extend([(ci, scan.dc_tbl[ci], scan.ac_tbl[ci])] * (comp.hsamp * comp.vsamp))
-    for _ in range(interval):
-        for ci, dc, ac in per_mcu:
-            comp_steps.append(ci)
-            dc_steps.append(dc)
-            ac_steps.append(ac + 4)  # AC tables in slots 4..7
-
-    # Table tensors: slots 0..3 DC, 4..7 AC.  Unused slots decode every
-    # window to rank 0 -> the invalid-marker entry (len=31) -> flagged.
-    n_tables = 8
-    cbase = np.zeros((n_tables, 16), dtype=np.int32)
-    # Slot 16 of counts holds the invalid-window limit; INT32_MIN for
-    # unused tables means every window flags as invalid.
-    counts = np.zeros((n_tables, 17), dtype=np.int32)
-    counts[:, 16] = np.iinfo(np.int32).min
-    symbols = np.full(
-        (n_tables, SUBLANES, LANES),
-        np.int32((31 << 8) | (31 << 24)),
-        dtype=np.int32,
-    )
-    for slot, spec in enumerate(list(header.dc_tables) + list(header.ac_tables)):
-        if spec is None:
-            continue
-        b_, c_, s_ = _decode_tables(spec)
-        cbase[slot] = b_
-        counts[slot] = c_
-        symbols[slot] = s_
-
-    bpm = len(per_mcu)
+    comp_steps, dc_steps, ac_steps, bpm = _step_maps(header, scan, interval)
+    cbase, counts, symbols = _table_tensors(header)
     return DeviceScanPlan(
         streams=streams,
         n_segments=nseg,
@@ -266,6 +288,86 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         counts=counts,
         symbols=symbols,
     )
+
+
+def build_plan_no_dri(
+    parsed: ParsedJpeg,
+    mcus_per_segment: int = 1,
+    max_words: int = 1024,
+) -> DeviceScanPlan:
+    """Device-decode plan for a DRI-less stream via the native index scan.
+
+    The host Huffman-walks code LENGTHS only (one serial pass, no
+    coefficient work -- xjpeg_host.cpp:xjpeg_index_scan) to find the bit
+    offset and DC predictors at every ``mcus_per_segment``-th MCU, then
+    packs those pseudo-segments bit-aligned.  The kernel decodes them
+    exactly like real restart segments; ``dc_base`` carries the DC
+    predictor continuation the device adds back after decode.
+
+    Default one MCU per pseudo segment: maximal lane parallelism, minimal
+    per-segment word count, and the R=1 no-relayout assembly fast path.
+    """
+    from jpeg_gpu_tpu.host import entropy_native
+
+    header = parsed.header
+    scan = header.scan
+    assert scan is not None
+    if header.restart_interval or len(parsed.segments) != 1:
+        raise ValueError("build_plan_no_dri is for single-segment streams")
+    k = mcus_per_segment
+    bitpos, dc_base, end_bit = entropy_native.index_scan(parsed, k)
+    nseg = len(bitpos)
+    nbatch = -(-nseg // SEGMENTS_PER_BATCH)
+
+    # Longest pseudo segment in destuffed bytes, +1 for the shift tail.
+    bounds = np.concatenate([bitpos, [end_bit]])
+    lens_bits = np.diff(bounds)
+    max_bytes = int(-(-(lens_bits.max(initial=0)) // 8) + 1)
+    nw = _check_nw(max_bytes, max_words)
+    mat = np.full((nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8)
+    entropy_native.pack_streams_bits(parsed, bitpos, end_bit, mat[:nseg])
+
+    words = mat.view(">u4").astype(np.uint32)
+    streams = np.ascontiguousarray(
+        words.reshape(nbatch, SEGMENTS_PER_BATCH, nw).transpose(0, 2, 1)
+    ).view(np.int32)
+    streams = streams.reshape(nbatch, nw, SUBLANES, LANES)
+
+    comp_steps, dc_steps, ac_steps, bpm = _step_maps(header, scan, k)
+    cbase, counts, symbols = _table_tensors(header)
+    return DeviceScanPlan(
+        streams=streams,
+        n_segments=nseg,
+        nw=nw,
+        mcus_per_segment=k,
+        n_mcus=header.n_mcus,
+        comp_of_step=np.asarray(comp_steps, dtype=np.int32),
+        dc_slot_of_step=np.asarray(dc_steps, dtype=np.int32),
+        ac_slot_of_step=np.asarray(ac_steps, dtype=np.int32),
+        seg_meta=_last_segment_meta(nseg, k, header.n_mcus, bpm),
+        cbase=cbase,
+        counts=counts,
+        symbols=symbols,
+        dc_base=dc_base,
+    )
+
+
+def build_plan_auto(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
+    """build_plan for restart streams; the index-scan pseudo-segment plan
+    for DRI-less streams when the native library is available (most
+    real-world JPEGs carry no DRI -- SURVEY hard part 1's gap, closed)."""
+    header = parsed.header
+    if (
+        header.restart_interval
+        or len(parsed.segments) != 1
+        or header.n_mcus < 2
+    ):
+        return build_plan(parsed, max_words)
+    from jpeg_gpu_tpu.host import entropy_native
+
+    if not entropy_native.available():
+        return build_plan(parsed, max_words)  # single mega-segment
+    return build_plan_no_dri(parsed, max_words=max_words)
 
 
 @dataclasses.dataclass

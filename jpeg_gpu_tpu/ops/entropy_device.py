@@ -576,6 +576,24 @@ def decode_segments_device(
     )
 
 
+@jax.jit
+def apply_dc_base(kernel_out, dc_base, comp_map):
+    """Add per-pseudo-segment DC predictor bases (DRI-less streams).
+
+    A pseudo restart segment (host/segments.py:build_plan_no_dri) starts
+    mid-stream, so its true DC predictors are the running values the
+    index scan recorded -- the kernel decoded from 0, which offsets every
+    block's cumulative DC in the segment by exactly the base.  One
+    broadcast add on coefficient row 0 repairs it.
+
+    kernel_out (B, T, 64, 8, 128) int16; dc_base (B, 8, 128, C) int32;
+    comp_map (T,) int32 (frame component of block step t).
+    """
+    add = jnp.take(dc_base, comp_map, axis=-1)          # (B, 8, 128, T)
+    add = jnp.moveaxis(add, -1, 1).astype(jnp.int16)    # (B, T, 8, 128)
+    return kernel_out.at[:, :, 0, :, :].add(add)
+
+
 def assemble_components(
     kernel_out: jax.Array,          # (B, T, 64, 8, 128) int16
     n_segments: int,

@@ -87,41 +87,180 @@ def _idct_block_planes(load, qfn):
     return y
 
 
+def _clamp_chroma_samples(P, band, bi, lb, ue, ve):
+    """Edge-replicate SAMPLE planes beyond the true chroma dims in place.
+
+    ``P`` maps (u, v) to (band+2, hbc) sample planes (one-block-row halo
+    on the sublane axis).  The MCU-padding rows of the partial bottom
+    block (global block row ``lb``, sample rows > ``ue``) and the padding
+    columns of every block's last lane (sample cols > ``ve``) are
+    replaced by the true edge samples -- the padded-plane clamp of
+    ops/color.py's *_padded filters, done on the IDCT outputs (clamping
+    coefficients would corrupt the whole block's spectrum).
+    """
+    if ue < 7:
+        # Global block row of each tile row (halo offset -1).
+        rows = bi * band + jax.lax.broadcasted_iota(
+            jnp.int32, P[(0, 0)].shape, 0
+        ) - 1
+        rowmask = rows == lb
+        for u in range(ue + 1, 8):
+            for v in range(8):
+                P[(u, v)] = jnp.where(rowmask, P[(ue, v)], P[(u, v)])
+    if ve < 7:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, P[(0, 0)].shape, 1)
+        lanemask = lanes == (P[(0, 0)].shape[1] - 1)
+        for u in range(8):
+            for v in range(ve + 1, 8):
+                P[(u, v)] = jnp.where(lanemask, P[(u, ve)], P[(u, v)])
+    return P
+
+
+def _fancy_chroma_row(P, R, sx, sy, band, mask_first, mask_last):
+    """Fancy-upsampled chroma values for output pixel row ``R``.
+
+    ``P`` maps (u, v) to (band+2, hbc) sample planes with a one-BLOCK-ROW
+    halo on the sublane axis (tile row 0 = previous block row's samples,
+    row band+1 = next).  ``mask_first``/``mask_last`` flag the globally
+    first/last real block row per (band, hbc) position, where the
+    vertical neighbor replicates the edge instead of reading the halo.
+    Returns sx*8 (band, hbc) tiles indexed by output column phase --
+    bit-exact ops/color.py triangle-filter arithmetic
+    (upsample_fancy_h2/_h2v2).
+    """
+    def win(u, v, off):
+        return P[(u, v)][1 + off : 1 + off + band]
+
+    if sy == 2:
+        cu, par = divmod(R, 2)
+        # Vertical pass: 10-bit column sums, nearer row x3 + farther.
+        if par == 0:
+            if cu > 0:
+                nb = lambda v: win(cu - 1, v, 0)
+            else:
+                nb = lambda v: jnp.where(
+                    mask_first, win(0, v, 0), win(7, v, -1)
+                )
+        else:
+            if cu < 7:
+                nb = lambda v: win(cu + 1, v, 0)
+            else:
+                nb = lambda v: jnp.where(
+                    mask_last, win(7, v, 0), win(0, v, 1)
+                )
+        cs = [3 * win(cu, v, 0) + nb(v) for v in range(8)]
+        if sx == 1:
+            # 4:4:0: finish vertically, rounding 1 (even rows) / 2 (odd).
+            return [(c + (1 if par == 0 else 2)) >> 2 for c in cs]
+        ke, ko, sh = 8, 7, 4  # h2v2 horizontal pass constants
+    else:
+        cs = [win(R, v, 0) for v in range(8)]
+        ke, ko, sh = 1, 2, 2  # h2 on raw samples
+
+    # Horizontal pass: neighbors cross lanes at v=0/7 (adjacent chroma
+    # blocks are adjacent lanes); the concat's kept first/last lane
+    # provides the global edge replication (the last lane's padding
+    # samples were clamped to the true edge).
+    left = jnp.concatenate([cs[0][:, :1], cs[7][:, :-1]], axis=1)
+    right = jnp.concatenate([cs[0][:, 1:], cs[7][:, -1:]], axis=1)
+    out = []
+    for c in range(8):
+        three = 3 * cs[c]
+        lnb = cs[c - 1] if c > 0 else left
+        rnb = cs[c + 1] if c < 7 else right
+        out.append((three + lnb + ke) >> sh)
+        out.append((three + rnb + ko) >> sh)
+    return out
+
+
 def _fused_rgb_kernel(
     sx, sy,           # static: luma blocks per chroma block (h, v)
+    fancy,            # static: None, or the triangle-filter mode's clamp
+    #                   geometry (lb, ue, ve, last_block): partial-bottom-
+    #                   block row, its last true sample row, the last
+    #                   lane's last true sample col, last real block row
     # scalar prefetch (per image -- grid dim 0 routes batches to tables):
     qty_ref,          # (N, 64) int32 luma dequant
     qtc_ref,          # (N, 2, 64) int32 chroma dequant (Cb, Cr rows)
     # VMEM inputs:
     y_ref,            # (1, sy, sx, 64, BAND, HBC) int16/int32
-    cb_ref,           # (1, 64, BAND, HBC) int16/int32
-    cr_ref,           # (1, 64, BAND, HBC) int16/int32
+    cb_ref,           # (1, 64, BAND, HBC); fancy: (1, 64, 1, BAND+2, HBC)
+    cr_ref,           # (1, 64, BAND, HBC); fancy: (1, 64, 1, BAND+2, HBC)
     # output:
     out_ref,          # (1, BAND, sy, 8, WPG, HBC) int32 packed RGB words;
     #                   WPG = 6*sx words per chroma-block lane per row
 ):
     ni = pl.program_id(0)
+    band = out_ref.shape[1]
     if "noio" in _ABLATE:
         # Pure block-DMA machinery: no loads, constant stores.
         out_ref[:] = jnp.zeros(out_ref.shape, jnp.int32)
         return
-    cb = _idct_block_planes(lambda j: cb_ref[0, j], lambda j: qtc_ref[ni, 0, j])
-    cr = _idct_block_planes(lambda j: cr_ref[0, j], lambda j: qtc_ref[ni, 1, j])
+    if fancy:
+        cb = _idct_block_planes(
+            lambda j: cb_ref[0, j, 0], lambda j: qtc_ref[ni, 0, j]
+        )
+        cr = _idct_block_planes(
+            lambda j: cr_ref[0, j, 0], lambda j: qtc_ref[ni, 1, j]
+        )
+    else:
+        cb = _idct_block_planes(
+            lambda j: cb_ref[0, j], lambda j: qtc_ref[ni, 0, j]
+        )
+        cr = _idct_block_planes(
+            lambda j: cr_ref[0, j], lambda j: qtc_ref[ni, 1, j]
+        )
 
-    # Chroma color terms, once per chroma phase (reused by sx*sy pixels).
+    # Chroma color terms.  Nearest: once per chroma phase (reused by
+    # sx*sy pixels).  Fancy: per output pixel phase (every output pixel
+    # has a distinct upsampled chroma value) -- computed per output row
+    # from the triangle-filtered values.
     rterm, gterm, bterm = {}, {}, {}
-    for k in cb:
-        cbi = cb[k] - 128
-        cri = cr[k] - 128
-        rterm[k] = (FIX_1_40200 * cri + ONE_HALF) >> SCALEBITS
-        gterm[k] = (
-            -FIX_0_34414 * cbi + (-FIX_0_71414 * cri + ONE_HALF)
-        ) >> SCALEBITS
-        bterm[k] = (FIX_1_77200 * cbi + ONE_HALF) >> SCALEBITS
+    if not fancy:
+        for k in cb:
+            cbi = cb[k] - 128
+            cri = cr[k] - 128
+            rterm[k] = (FIX_1_40200 * cri + ONE_HALF) >> SCALEBITS
+            gterm[k] = (
+                -FIX_0_34414 * cbi + (-FIX_0_71414 * cri + ONE_HALF)
+            ) >> SCALEBITS
+            bterm[k] = (FIX_1_77200 * cbi + ONE_HALF) >> SCALEBITS
 
     wpg = 6 * sx  # words per (chroma lane, pixel row): sx*8 px * 3 / 4
 
+    if fancy:
+        lb, ue, ve, last_block = fancy
+        bi = pl.program_id(1)
+        cb = _clamp_chroma_samples(cb, band, bi, lb, ue, ve)
+        cr = _clamp_chroma_samples(cr, band, bi, lb, ue, ve)
+        rows2d = bi * band + jax.lax.broadcasted_iota(
+            jnp.int32, (band, cb_ref.shape[-1]), 0
+        )
+        mask_first = rows2d == 0
+        mask_last = rows2d == last_block
+
     for pr in range(sy):
+        if fancy:
+            # Terms per output pixel phase of THIS row group only (keeps
+            # the live-tile count bounded; each term is used once).
+            rterm, gterm, bterm = {}, {}, {}
+            for u in range(8):
+                row = 8 * pr + u
+                cbrow = _fancy_chroma_row(
+                    cb, row, sx, sy, band, mask_first, mask_last
+                )
+                crrow = _fancy_chroma_row(
+                    cr, row, sx, sy, band, mask_first, mask_last
+                )
+                for oc in range(sx * 8):
+                    cbi = cbrow[oc] - 128
+                    cri = crrow[oc] - 128
+                    k = (pr, u, oc)
+                    rterm[k] = (FIX_1_40200 * cri + ONE_HALF) >> SCALEBITS
+                    gterm[k] = (
+                        -FIX_0_34414 * cbi + (-FIX_0_71414 * cri + ONE_HALF)
+                    ) >> SCALEBITS
+                    bterm[k] = (FIX_1_77200 * cbi + ONE_HALF) >> SCALEBITS
         per_u = [[None] * wpg for _ in range(8)]
         for pc in range(sx):
             ys = _idct_block_planes(
@@ -137,7 +276,10 @@ def _fused_rgb_kernel(
                 # the sx*8-pixel span this parity group covers per lane.
                 words = [None] * (2 * 3)  # 8 px * 3 ch / 4 B = 6 words
                 for v in range(8):
-                    cph = ((8 * pr + u) // sy, (8 * pc + v) // sx)
+                    if fancy:
+                        cph = (pr, u, 8 * pc + v)
+                    else:
+                        cph = ((8 * pr + u) // sy, (8 * pc + v) // sx)
                     yv = ys[(u, v)]
                     r = jnp.clip(yv + rterm[cph], 0, 255)
                     g = jnp.clip(yv + gterm[cph], 0, 255)
@@ -155,7 +297,23 @@ def _fused_rgb_kernel(
             out_ref[0, :, pr, u] = jnp.stack(per_u[u], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _band_halo(c, band: int, nbands: int):
+    """(n, 64, vbc, hbc) -> (n, 64, nbands, band+2, hbc) overlapping band
+    windows with a one-BLOCK-ROW coefficient halo.  The outermost halo
+    blocks (above the first / below the last block row) are zero filler:
+    the kernel's edge masks replace those reads with the true edge rows
+    (clamping must happen on SAMPLES, so it cannot be baked in here).
+    """
+    n, _, vbc, hbc = c.shape
+    zero = jnp.zeros((n, 64, 1, hbc), c.dtype)
+    cpad = jnp.concatenate([zero, c, zero], axis=2)
+    return jnp.stack(
+        [cpad[:, :, i * band : i * band + band + 2] for i in range(nbands)],
+        axis=2,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def decode_rgb_fused_soa(
     y_soa: jax.Array,    # (..., sy, sx, 64, vbC, hbC) int32/int16
     cb_soa: jax.Array,   # (..., 64, vbC, hbC)
@@ -165,12 +323,19 @@ def decode_rgb_fused_soa(
     sx: int,
     sy: int,
     band: int = 8,
+    fancy: bool = False,
+    chroma_true: "tuple[int, int] | None" = None,  # (cw, ch), fancy only
 ) -> jax.Array:
     """SoA coefficients -> (..., vbC'*sy*8, hbC*sx*8, 3) uint8 RGB.
 
-    vbC is zero-padded up to a multiple of ``band`` (band itself must be a
+    vbC is padded up to a multiple of ``band`` (band itself must be a
     multiple of 8 -- Mosaic block-shape rule); the returned height covers
     the padded grid, so crop to the true image height afterwards.
+
+    ``fancy=True`` runs the bit-exact libjpeg triangle-filter chroma
+    upsampling inside the kernel (chroma arrives with a one-block-row
+    band halo; horizontal neighbors are one-lane shifts).  Requires the
+    image to fit one horizontal tile (hbC <= 256) and ``chroma_true``.
     """
     assert band % 8 == 0, band
     *lead, _sy, _sx, sixtyfour, vbc, hbc = y_soa.shape
@@ -194,9 +359,10 @@ def decode_rgb_fused_soa(
     qtc = jnp.broadcast_to(qtc.reshape(-1, 2, 64), (n, 2, 64)).astype(jnp.int32)
 
     # The kernel is purely lane-local (nearest upsampling is phase
-    # selection, packing is per-word), so wide images tile along the
-    # chroma-block axis too -- otherwise the ~330 live (band, hbC) tiles
-    # exceed the 16 MB VMEM scoped limit past hbC ~ 256 (observed at 8K).
+    # selection, packing is per-word; fancy's one-lane shifts stay inside
+    # a tile), so wide images tile along the chroma-block axis too --
+    # otherwise the ~330 live (band, hbC) tiles exceed the 16 MB VMEM
+    # scoped limit past hbC ~ 256 (observed at 8K).
     hb_tile = hbc if hbc <= 256 else 256
     hpad = (-hbc) % hb_tile
     if hpad:
@@ -208,6 +374,31 @@ def decode_rgb_fused_soa(
     wpg = 6 * sx
     nbands = vbc // band
     nhtiles = hbc // hb_tile
+    if fancy:
+        # Lane-shift neighbors cannot cross horizontal tile seams; callers
+        # route wider images to the unfused fancy pipeline.
+        assert nhtiles == 1, (hbc, "fancy fused path needs one h-tile")
+        assert chroma_true is not None
+        cw, ch = chroma_true
+        # Clamp geometry for the kernel's in-kernel sample-edge masks
+        # (band-pad blocks only ever feed cropped output rows).
+        lb, ue = divmod(ch - 1, 8)
+        ve = (cw - 1) % 8
+        fancy_meta = (lb, ue, ve, vbc - pad - 1)
+        cb = _band_halo(cb, band, nbands)
+        cr = _band_halo(cr, band, nbands)
+        chroma_spec = pl.BlockSpec(
+            (1, 64, 1, band + 2, hb_tile),
+            lambda ni, bi, hi, *_: (ni, 0, bi, 0, hi),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        fancy_meta = None
+        chroma_spec = pl.BlockSpec(
+            (1, 64, band, hb_tile),
+            lambda ni, bi, hi, *_: (ni, 0, bi, hi),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n, nbands, nhtiles),
@@ -217,16 +408,8 @@ def decode_rgb_fused_soa(
                 lambda ni, bi, hi, *_: (ni, 0, 0, 0, bi, hi),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 64, band, hb_tile),
-                lambda ni, bi, hi, *_: (ni, 0, bi, hi),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 64, band, hb_tile),
-                lambda ni, bi, hi, *_: (ni, 0, bi, hi),
-                memory_space=pltpu.VMEM,
-            ),
+            chroma_spec,
+            chroma_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, band, sy, 8, wpg, hb_tile),
@@ -235,7 +418,7 @@ def decode_rgb_fused_soa(
         ),
     )
     packed = pl.pallas_call(
-        functools.partial(_fused_rgb_kernel, sx, sy),
+        functools.partial(_fused_rgb_kernel, sx, sy, fancy_meta),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, vbc, sy, 8, wpg, hbc), jnp.int32),
         interpret=jax.default_backend() == "cpu",
@@ -269,18 +452,28 @@ def blocks_to_soa_split(coefs: jax.Array, sx: int, sy: int) -> jax.Array:
 
 if __name__ == "__main__":
     # Self-test vs the unfused exact pipeline (TPU; one probe per process).
+    # Covers BOTH upsample modes; misaligned dims exercise the in-kernel
+    # sample-edge clamps, and 130 rows force a multi-band halo seam.
     from jpeg_gpu_tpu.engine import pipeline
     from jpeg_gpu_tpu.host.entropy import decode_scan
     from jpeg_gpu_tpu.host.parser import parse
     from jpeg_gpu_tpu.testing import corpus
 
-    for mode, sx, sy in [("4:2:0", 2, 2), ("4:4:4", 1, 1), ("4:2:2", 2, 1)]:
-        img = corpus.synthetic_rgb(128, 256, seed=3)
+    CASES = [
+        ("4:2:0", 2, 2, "nearest", (128, 256)),
+        ("4:4:4", 1, 1, "nearest", (128, 256)),
+        ("4:2:2", 2, 1, "nearest", (128, 256)),
+        ("4:2:0", 2, 2, "fancy", (130, 250)),
+        ("4:2:2", 2, 1, "fancy", (130, 250)),
+        ("4:4:0", 1, 2, "fancy", (130, 250)),
+    ]
+    for mode, sx, sy, ups, (hh, ww) in CASES:
+        img = corpus.synthetic_rgb(hh, ww, seed=3)
         enc = corpus.own_jpeg(img, subsampling=mode, quality=85)
         parsed = parse(enc.data)
         hdr = parsed.header
         res = decode_scan(parsed)
-        spec = pipeline.PipelineSpec.from_header(hdr, exact=True)
+        spec = pipeline.PipelineSpec.from_header(hdr, exact=True, upsample=ups)
         coefs = tuple(jnp.asarray(c) for c in res.coefs)
         qts = tuple(
             jnp.asarray(hdr.quant_for(c).values.astype(np.int32))
@@ -294,9 +487,12 @@ if __name__ == "__main__":
         cb_soa = blocks_to_soa(coefs[1])
         cr_soa = blocks_to_soa(coefs[2])
         qtc = jnp.stack([qts[1].reshape(64), qts[2].reshape(64)])
+        fancy = ups == "fancy" and (sx, sy) != (1, 1)
         rgb = decode_rgb_fused_soa(
-            y_soa, cb_soa, cr_soa, qts[0], qtc, sx, sy
+            y_soa, cb_soa, cr_soa, qts[0], qtc, sx, sy,
+            fancy=fancy,
+            chroma_true=spec.comp_sizes[1] if fancy else None,
         )
         got = np.asarray(rgb)[: hdr.height, : hdr.width]
         np.testing.assert_array_equal(got, ref)
-        print(f"{mode}: fused RGB kernel bit-exact vs pipeline OK")
+        print(f"{mode} {ups}: fused RGB kernel bit-exact vs pipeline OK")

@@ -224,7 +224,10 @@ def decode_corpus_device_sharded(
         frame_order, salvage,
     ) = meta
     space = mesh.shape[SPACE_AXIS]
-    fg = fused_rgb_geometry(spec)
+    # The in-kernel fancy path cannot run sharded (its band halos
+    # would edge-replicate at shard seams); fancy uses the unfused
+    # per-shard pipeline with real ppermute halos instead.
+    fg = fused_rgb_geometry(spec) if spec.upsample == "nearest" else None
     for hs, vs in geom:
         if (nvmb * vs) % space:
             raise ValueError(
@@ -337,7 +340,10 @@ def decode_image_device_sharded(
         assemble_args
     )
     space = mesh.shape[SPACE_AXIS]
-    fg = fused_rgb_geometry(spec)
+    # The in-kernel fancy path cannot run sharded (its band halos
+    # would edge-replicate at shard seams); fancy uses the unfused
+    # per-shard pipeline with real ppermute halos instead.
+    fg = fused_rgb_geometry(spec) if spec.upsample == "nearest" else None
     # Every component's block rows must split evenly over the space axis,
     # or the dynamic slices would silently drop bottom MCU rows and
     # misalign luma against chroma.

@@ -27,6 +27,7 @@ def main():
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 1920
     sub = sys.argv[4] if len(sys.argv) > 4 else "4:2:0"
     nbatch = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    interleave = int(os.environ.get("JPEG_TPU_PROBE_INTERLEAVE", "0")) or None
 
     import jax
     import jax.numpy as jnp
@@ -59,7 +60,8 @@ def main():
 
     # Correctness first: single (non-chained) decode, bit-identical to host.
     out, err = edev.decode_segments_device(
-        s1, *[jnp.asarray(x) for x in plan.kernel_tables], ac_chunk=chunk
+        s1, *[jnp.asarray(x) for x in plan.kernel_tables], ac_chunk=chunk,
+        interleave=interleave,
     )
     hd = par.header
     gm = tuple(
@@ -73,14 +75,19 @@ def main():
     ref = host_entropy.decode_scan(par)
     for a, b in zip(comps, ref.coefs):
         np.testing.assert_array_equal(np.asarray(a), b.astype(np.int16))
-    assert int(jnp.sum(err != 0)) == 0
+    # Only real segment slots must be clean (padded lanes decode 0xFF
+    # streams and flag, by design).
+    flags = np.asarray(err).reshape(-1)[: plan.n_segments]
+    assert not flags.any(), np.flatnonzero(flags)[:8]
     print(f"[probe] chunk={chunk}: bit-identical to host", file=sys.stderr)
 
     @jax.jit
     def chained(iters, st, *rest):
         def body(_, carry):
             s = st ^ (carry % 2).astype(jnp.int32)
-            out, err = edev.decode_segments_device(s, *rest, ac_chunk=chunk)
+            out, err = edev.decode_segments_device(
+                s, *rest, ac_chunk=chunk, interleave=interleave
+            )
             return (
                 jnp.sum(out.astype(jnp.int32)) % 997 + jnp.sum(err) % 13 + carry
             ).astype(jnp.int32)
@@ -105,6 +112,7 @@ def main():
         json.dumps(
             {
                 "chunk": chunk,
+                "interleave": interleave,
                 "entropy_ms_per_batch": round(sec * 1e3, 3),
                 "entropy_mpix_per_s": round(mpix / sec, 1),
                 "wall_s": round(time.perf_counter() - t0, 1),

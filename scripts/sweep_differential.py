@@ -104,11 +104,12 @@ def main() -> int:
                 checks["tpu_eq_libjpeg"] = bool(
                     np.array_equal(tpu, jt.decode(data, impl="pil"))
                 )
-            if r > 0 or mode in ("4:4:0", "4:1:1"):  # stream has restarts
-                dev = jt.decode(
-                    data, impl="tpu", entropy="device", upsample=ups
-                )
-                checks["device_entropy_eq"] = bool(np.array_equal(dev, tpu))
+            # r=0 streams exercise the DRI-less index-scan pseudo-segment
+            # path; r>0 the real restart-segment path.
+            dev = jt.decode(
+                data, impl="tpu", entropy="device", upsample=ups
+            )
+            checks["device_entropy_eq"] = bool(np.array_equal(dev, tpu))
             ok = all(checks.values())
             checks["rgb_sha"] = _checksum(tpu)
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
