@@ -141,13 +141,16 @@ def main() -> None:
     ) / (k2 - k1)
 
     # Same config through the fancy-upsampling path (the libjpeg-turbo
-    # default pipeline -- the bit-exact parity target).
+    # default pipeline -- the bit-exact parity target).  Routes through
+    # the fused kernel's in-kernel triangle filters when available.
     spec_fancy = pipeline.PipelineSpec.from_header(
         hdr, exact=True, upsample="fancy"
     )
-    coefs_blocks = (
-        coefs
-        if headline_geom is None
+    fancy_geom = pipeline.fused_rgb_geometry(spec_fancy)
+    use_fused_fancy = fancy_geom is not None and headline_geom is not None
+    coefs_fancy = (
+        coefs  # the SoA planes serve both kernels
+        if use_fused_fancy or headline_geom is None
         else tuple(
             jnp.asarray(np.broadcast_to(c, (batch,) + c.shape).copy())
             for c in result.coefs
@@ -158,9 +161,14 @@ def main() -> None:
     def chained_fancy(iters, coefs, qtables):
         def body(_, carry):
             c0 = coefs[0] + (carry % 3).astype(jnp.int16)
-            out = pipeline.decode_rgb.__wrapped__(
-                spec_fancy, (c0,) + coefs[1:], qtables
-            )
+            if use_fused_fancy:
+                out = pipeline.decode_rgb_soa.__wrapped__(
+                    spec_fancy, fancy_geom, (c0,) + coefs[1:], qtables
+                )
+            else:
+                out = pipeline.decode_rgb.__wrapped__(
+                    spec_fancy, (c0,) + coefs[1:], qtables
+                )
             return (jnp.sum(out.astype(jnp.uint32)) % 997 + carry).astype(
                 jnp.uint32
             )
@@ -168,8 +176,8 @@ def main() -> None:
 
     _stage("fancy parity: compile + measure")
     fancy_s = (
-        best_time(chained_fancy, 60, coefs_blocks, qtables)
-        - best_time(chained_fancy, 10, coefs_blocks, qtables)
+        best_time(chained_fancy, 60, coefs_fancy, qtables)
+        - best_time(chained_fancy, 10, coefs_fancy, qtables)
     ) / 50
 
     # Fully on-device decode (device entropy kernel + assembly + pixel
@@ -247,11 +255,7 @@ def main() -> None:
     # the honest serving number the reference's cpu-ms/gpu-ms split
     # reports (jpeg_gpu.c:1444-1458) -- bench's other numbers isolate the
     # device pipeline.
-    def e2e_mpix_s(n_frames=24):
-        im = corpus.synthetic_rgb(1080, 1920, seed=1)
-        dat = corpus.pil_jpeg(
-            im, quality=85, subsampling="4:2:0", restart_marker_blocks=1
-        )
+    def e2e_mpix_s(dat, plan_builder, n_frames=24):
         par0 = parse(dat)
         hd = par0.header
         sp = pipeline.PipelineSpec.from_header(hd, exact=True)
@@ -261,11 +265,14 @@ def main() -> None:
             jnp.asarray(hd.quant_for(c).values.astype(np.int32))
             for c in hd.components
         )
-        plan0 = seg_mod.build_plan(par0)
+        plan0 = plan_builder(par0)
 
         @jax.jit
-        def one_frame(st, *tables):
+        def one_frame(st, dcb, *tables):
             out, err = edev.decode_segments_device(st, *tables)
+            if dcb is not None:
+                # DRI-less pseudo segments: restore DC continuation.
+                out = edev.apply_dc_base(out, dcb, tables[0])
             comps = edev.assemble_components(
                 out, plan0.n_segments, plan0.mcus_per_segment, hd.n_mcus,
                 hd.nhmb, hd.nvmb, gm, soa=fg is not None,
@@ -278,8 +285,17 @@ def main() -> None:
 
         def host_side():
             par = parse(dat)
-            plan = seg_mod.build_plan(par)
-            return (jnp.asarray(plan.streams),) + tuple(
+            plan = plan_builder(par)
+            if plan.dc_base is not None:
+                nb = plan.streams.shape[0]
+                dcb = np.zeros(
+                    (nb * 8 * 128, plan.dc_base.shape[1]), dtype=np.int32
+                )
+                dcb[: plan.n_segments] = plan.dc_base
+                dcb = jnp.asarray(dcb.reshape(nb, 8, 128, -1))
+            else:
+                dcb = None
+            return (jnp.asarray(plan.streams), dcb) + tuple(
                 jnp.asarray(x) for x in plan.kernel_tables
             )
 
@@ -294,10 +310,31 @@ def main() -> None:
                 outs.append(one_frame(*args))  # async dispatch
             jax.block_until_ready(outs)     # drain the tail
             best = min(best, time.perf_counter() - t0)
-        return 1080 * 1920 * n_frames / 1e6 / best, plan0.streams.nbytes
+        mpx = hd.width * hd.height * n_frames / 1e6
+        return mpx / best, plan0.streams.nbytes
 
     _stage("e2e bytes->pixels (host parse/pack overlapped)")
-    e2e, bits_bytes_frame = e2e_mpix_s()
+    img_e2e = corpus.synthetic_rgb(1080, 1920, seed=1)
+    e2e, bits_bytes_frame = e2e_mpix_s(
+        corpus.pil_jpeg(
+            img_e2e, quality=85, subsampling="4:2:0", restart_marker_blocks=1
+        ),
+        seg_mod.build_plan,
+    )
+    # The REAL-WORLD serving case: the same image without restart markers
+    # (most JPEGs in the wild) -- host runs the serial index scan, the
+    # device does the coefficient decode (R=1 pseudo segments).
+    _stage("e2e DRI-less (index scan + device decode)")
+    from jpeg_gpu_tpu.host import entropy_native as en_mod
+
+    if en_mod.available():
+        e2e_nodri, _ = e2e_mpix_s(
+            corpus.pil_jpeg(img_e2e, quality=85, subsampling="4:2:0"),
+            seg_mod.build_plan_auto,
+            n_frames=12,
+        )
+    else:
+        e2e_nodri = 0.0
     # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
     _stage("full on-device 4K 4:2:2: compile + measure")
     mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
@@ -367,6 +404,7 @@ def main() -> None:
                     "full_on_device_decode_mpix_per_s": round(full_mpix_s, 1),
                     "full_4k422_device_decode_mpix_per_s": round(mpix4k, 1),
                     "e2e_bytes_to_pixels_mpix_per_s": round(e2e, 1),
+                    "e2e_no_dri_mpix_per_s": round(e2e_nodri, 1),
                     # Bytes shipped per frame at the two serving cuts (the
                     # reference's img.packed variable, jpeg_gpu.c:803,1287).
                     "upload_bytes_coefs_frame": int(

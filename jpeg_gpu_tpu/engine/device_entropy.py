@@ -190,7 +190,7 @@ def decode_image_device_sharded(
     )
 
     header = parsed.header
-    plan = build_plan(parsed)
+    plan = build_plan_auto(parsed)
     data_size = mesh.shape[DATA_AXIS]
     streams = plan.streams
     pad = (-streams.shape[0]) % data_size
@@ -199,6 +199,16 @@ def decode_image_device_sharded(
             (pad,) + streams.shape[1:], -1, dtype=streams.dtype
         )
         streams = np.concatenate([streams, filler])
+    if plan.dc_base is not None:
+        # DRI-less pseudo segments: per-batch DC bases ride the same data
+        # sharding as the streams.
+        dcb = np.zeros(
+            (streams.shape[0] * 8 * 128, plan.dc_base.shape[1]), np.int32
+        )
+        dcb[: plan.n_segments] = plan.dc_base
+        dcb = jnp.asarray(dcb.reshape(streams.shape[0], 8, 128, -1))
+    else:
+        dcb = None
     plan_tables = tuple(jnp.asarray(x) for x in plan.kernel_tables)
     geom = tuple(
         (header.components[i].hsamp, header.components[i].vsamp)
@@ -214,7 +224,8 @@ def decode_image_device_sharded(
         for c in header.components
     )
     rgb, err = _sharded(
-        spec, mesh, assemble_args, jnp.asarray(streams), plan_tables, qtables
+        spec, mesh, assemble_args, jnp.asarray(streams), plan_tables,
+        qtables, dcb,
     )
     if check_errors:
         flags = np.asarray(err).reshape(-1)[: plan.n_segments]

@@ -323,11 +323,15 @@ def decode_image_device_sharded(
     streams: jax.Array,     # (B, NW, 8, 128) int32, B divisible by data axis
     plan_tables: Tuple[jax.Array, ...],  # DeviceScanPlan.kernel_tables
     qtables: Tuple[jax.Array, ...],
+    dc_base=None,           # (B, 8, 128, C) int32 for DRI-less pseudo
+    #                         segments (build_plan_no_dri), else None
 ):
     """One image, fully on-device, distributed: restart-segment batches
     shard over the ``data`` axis (each chip Huffman-decodes its share),
     coefficients are exchanged over ICI (all_gather), and the pixel
-    pipeline splits MCU block rows over the ``space`` axis.
+    pipeline splits MCU block rows over the ``space`` axis.  DRI-less
+    streams work too: their index-scan DC bases shard with the streams
+    and are applied per shard before the gather.
 
     This is the BASELINE.json config #5 shape: segments + block
     boundaries over ICI. Returns (rgb, err): rgb (padH, padW, 3) sharded
@@ -354,7 +358,7 @@ def decode_image_device_sharded(
                 f"space axis ({space}); use a smaller space axis"
             )
 
-    def step(streams, plan_tables, qtables):
+    def step(streams, plan_tables, qtables, dc_base):
         # seg_meta locates the (possibly short) LAST segment by its
         # GLOBAL batch index so the kernel can suppress the meaningless
         # error flags of its padded tail steps.  Each shard's kernel sees
@@ -372,6 +376,8 @@ def decode_image_device_sharded(
             streams, comp_map, dcslot, acslot, seg_meta,
             cbase, counts, symbols,
         )
+        if dc_base is not None:
+            out = entropy_device.apply_dc_base(out, dc_base, comp_map)
         # Exchange coefficient slabs across the data axis over ICI.
         out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)
         err = jax.lax.all_gather(err, DATA_AXIS, axis=0, tiled=True)
@@ -414,7 +420,10 @@ def decode_image_device_sharded(
     return shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(), P()),
+        in_specs=(
+            P(DATA_AXIS), P(), P(),
+            P() if dc_base is None else P(DATA_AXIS),
+        ),
         out_specs=(P(SPACE_AXIS), P(DATA_AXIS)),
         check_rep=False,
-    )(streams, plan_tables, qtables)
+    )(streams, plan_tables, qtables, dc_base)

@@ -42,3 +42,33 @@ def test_bitflips_of_valid_stream():
         pos = int(rng.integers(2, len(buf)))
         buf[pos] ^= 1 << int(rng.integers(0, 8))
         _attempt(bytes(buf))
+
+
+def test_bitflips_vsamp4_stream():
+    """vsamp=4 geometry (parser-accepted corner no common encoder emits):
+    corrupted streams must fail cleanly through the general path too."""
+    img = corpus.synthetic_rgb(24, 24, seed=3)
+    enc = corpus.own_jpeg(img, subsampling="h2v4", quality=85, restart_interval=1)
+    rng = np.random.default_rng(3)
+    for _ in range(16):
+        buf = bytearray(enc.data)
+        pos = int(rng.integers(2, len(buf)))
+        buf[pos] ^= 1 << int(rng.integers(0, 8))
+        _attempt(bytes(buf))
+
+
+def test_bitflips_device_entropy_no_dri():
+    """DRI-less device path: the index scan validates while walking, so a
+    corrupted no-restart stream must raise JpegError (or decode), never
+    crash -- through the device planner and kernel plumbing."""
+    img = corpus.synthetic_gray(24, 24, seed=4)
+    enc = corpus.own_jpeg(img, quality=85)
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        buf = bytearray(enc.data)
+        pos = int(rng.integers(2, len(buf)))
+        buf[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            jt.decode(bytes(buf), impl="tpu", entropy="device")
+        except JpegError:
+            pass

@@ -93,3 +93,20 @@ def test_sharded_corpus_device_decode_gray_general_path():
     want = decode_batch(datas, entropy="host")
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_device_decode_no_dri():
+    """A DRI-less stream decodes distributed too: the index-scan pseudo
+    segments shard over data and their DC bases are applied per shard."""
+    from jpeg_gpu_tpu.host import entropy_native
+
+    if not entropy_native.available():
+        pytest.skip("native library unavailable")
+    img = corpus.synthetic_rgb(96, 128, seed=14)
+    data = corpus.pil_jpeg(img, quality=88, subsampling="4:2:0")  # no DRI
+    parsed = parse(data)
+    assert parsed.header.restart_interval == 0
+    mesh = make_mesh(8, space=2)
+    rgb = decode_image_device_sharded(parsed, mesh)
+    ref = decode(data, out="rgb", impl="host")
+    np.testing.assert_array_equal(rgb, ref)
