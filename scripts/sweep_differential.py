@@ -60,24 +60,41 @@ def main() -> int:
     )
     rng = np.random.default_rng(seed)
     modes = ["4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
+    # Pinned configs the random draw cannot reach: wide frames whose
+    # chroma-block count straddles a 128-lane gather chunk in the fused
+    # kernel's raster-major store (hbC > 128), and a vsamp=4 geometry
+    # through the compiled general path.  (h, w, q, mode, restart, ups).
+    pinned = [
+        (48, 2100, 85, "4:2:0", 1, "fancy"),    # hbC=132: chunk straddle
+        (40, 1200, 75, "4:4:4", 0, "nearest"),  # hbC=150 + DRI-less device
+        (64, 40, 85, "h2v4", 1, "nearest"),     # vsamp=4 general path
+    ]
     records = []
     fails = 0
     t_start = time.time()
-    for i in range(n):
-        h = int(rng.integers(9, 230))
-        w = int(rng.integers(9, 230))
-        q = int(rng.integers(30, 97))
-        gray = bool(rng.integers(0, 3) == 0)
-        r = int(rng.integers(0, 4))
-        fancy = bool(rng.integers(0, 2))
+    for i in range(n + len(pinned)):
+        if i >= n:
+            h, w, q, mode_pin, r, ups_pin = pinned[i - n]
+            gray = False
+            fancy = ups_pin == "fancy"
+        else:
+            h = int(rng.integers(9, 230))
+            w = int(rng.integers(9, 230))
+            q = int(rng.integers(30, 97))
+            gray = bool(rng.integers(0, 3) == 0)
+            r = int(rng.integers(0, 4))
+            fancy = bool(rng.integers(0, 2))
         if gray:
             mode = "gray"
             img = corpus.synthetic_gray(h, w, seed=i)
             data = corpus.pil_jpeg(img, quality=q, restart_marker_blocks=r)
         else:
-            mode = modes[int(rng.integers(0, len(modes)))]
+            mode = (
+                mode_pin if i >= n
+                else modes[int(rng.integers(0, len(modes)))]
+            )
             img = corpus.synthetic_rgb(h, w, seed=i)
-            if mode in ("4:4:0", "4:1:1"):  # PIL cannot encode these
+            if mode not in ("4:4:4", "4:2:2", "4:2:0"):  # PIL cannot encode
                 data = corpus.own_jpeg(
                     img, subsampling=mode, quality=q,
                     restart_interval=max(r, 1),
@@ -119,10 +136,13 @@ def main() -> int:
         records.append({**cfg, **checks, "ok": ok})
         print(f"{tag}: {'OK' if ok else 'FAIL ' + str(checks)}", flush=True)
 
+    total = n + len(pinned)
     artifact = {
-        "n": n,
+        "n": total,
+        "n_random": n,
+        "n_pinned": len(pinned),
         "seed": seed,
-        "passed": n - fails,
+        "passed": total - fails,
         "failed": fails,
         "wall_s": round(time.time() - t_start, 1),
         "backend": jax.default_backend(),
@@ -131,7 +151,7 @@ def main() -> int:
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"sweep done: {n - fails}/{n} OK -> {out_path}", flush=True)
+    print(f"sweep done: {total - fails}/{total} OK -> {out_path}", flush=True)
     return 1 if fails else 0
 
 
