@@ -173,8 +173,55 @@ def _fancy_chroma_row(P, R, sx, sy, band, mask_first, mask_last):
     return out
 
 
+def _interleave_row(words, hbc):
+    """wpg word-phase tiles (band, hbc) -> one (band, hbc*wpg) raster row.
+
+    Output word position g = l*wpg + w holds words[w][:, l] -- the word-
+    phase interleave the post-kernel XLA transpose used to perform
+    (measured 1.52 ms of the 2.70 ms pixel stage at 8x1080p: minor-axis
+    transposes with a narrow second-minor dim are slow in every engine).
+    Building the raster row IN the kernel instead costs one static-index
+    lane-shuffle gather per word phase per 128-wide output tile -- the
+    indices and phase masks are trace-time constants, and the gathers'
+    ~50-cycle latencies overlap across independent output tiles.
+    """
+    wpg = len(words)
+    band = words[0].shape[0]
+    total = hbc * wpg
+    ntiles = -(-total // 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1)
+    out_tiles = []
+    for j in range(ntiles):
+        base = 128 * j
+        gpos = base + lane         # global output word position
+        src = gpos // wpg          # source lane (chroma block column)
+        sel = gpos % wpg           # source word phase
+        lo = base // wpg
+        hi = min((base + 127) // wpg, hbc - 1)
+        c0, c1 = lo // 128, hi // 128   # source 128-lane chunk(s)
+        acc = None
+        for w in range(wpg):
+            tile = words[w]
+
+            def gat(c, tile=tile):
+                chunk = tile[:, c * 128 : min((c + 1) * 128, hbc)]
+                idx = jnp.clip(src - c * 128, 0, chunk.shape[1] - 1)
+                return jnp.take_along_axis(chunk, idx, axis=1)
+
+            if c0 == c1:
+                g = gat(c0)
+            else:  # the one tile per row whose sources straddle a chunk
+                g = jnp.where(src >= c1 * 128, gat(c1), gat(c0))
+            t = jnp.where(sel == w, g, 0)
+            acc = t if acc is None else acc | t
+        out_tiles.append(acc)
+    row = out_tiles[0] if ntiles == 1 else jnp.concatenate(out_tiles, axis=1)
+    return row[:, :total] if row.shape[1] != total else row
+
+
 def _fused_rgb_kernel(
     sx, sy,           # static: luma blocks per chroma block (h, v)
+    interleave_store,  # static: raster-major in-kernel store (see above)
     fancy,            # static: None, or the triangle-filter mode's clamp
     #                   geometry (lb, ue, ve, last_block): partial-bottom-
     #                   block row, its last true sample row, the last
@@ -187,8 +234,9 @@ def _fused_rgb_kernel(
     cb_ref,           # (1, 64, BAND, HBC); fancy: (1, 64, 1, BAND+2, HBC)
     cr_ref,           # (1, 64, BAND, HBC); fancy: (1, 64, 1, BAND+2, HBC)
     # output:
-    out_ref,          # (1, BAND, sy, 8, WPG, HBC) int32 packed RGB words;
-    #                   WPG = 6*sx words per chroma-block lane per row
+    out_ref,          # (1, BAND, sy, 8, WPG, HBC) int32 packed RGB words
+    #                   (WPG = 6*sx words per chroma-block lane per row);
+    #                   interleave_store: (1, BAND, sy, 8, WPG*HBC) raster
 ):
     ni = pl.program_id(0)
     band = out_ref.shape[1]
@@ -292,9 +340,17 @@ def _fused_rgb_kernel(
                 for w in range(6):
                     per_u[u][pc * 6 + w] = words[w]
         for u in range(8):
-            # One (band, wpg, hb) store per output row group (six strided
-            # per-word stores measured no faster, but this is fewer ops).
-            out_ref[0, :, pr, u] = jnp.stack(per_u[u], axis=1)
+            if interleave_store:
+                # Raster-major store: the word-phase interleave happens
+                # here with static lane shuffles, so no post-kernel
+                # transpose exists at all.
+                hbc = per_u[u][0].shape[-1]
+                out_ref[0, :, pr, u] = _interleave_row(per_u[u], hbc)
+            else:
+                # One (band, wpg, hb) store per output row group (six
+                # strided per-word stores measured no faster, but this is
+                # fewer ops).
+                out_ref[0, :, pr, u] = jnp.stack(per_u[u], axis=1)
 
 
 def _band_halo(c, band: int, nbands: int):
@@ -313,7 +369,7 @@ def _band_halo(c, band: int, nbands: int):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def decode_rgb_fused_soa(
     y_soa: jax.Array,    # (..., sy, sx, 64, vbC, hbC) int32/int16
     cb_soa: jax.Array,   # (..., 64, vbC, hbC)
@@ -325,6 +381,7 @@ def decode_rgb_fused_soa(
     band: int = 8,
     fancy: bool = False,
     chroma_true: "tuple[int, int] | None" = None,  # (cw, ch), fancy only
+    interleave_store: "bool | None" = None,
 ) -> jax.Array:
     """SoA coefficients -> (..., vbC'*sy*8, hbC*sx*8, 3) uint8 RGB.
 
@@ -336,8 +393,16 @@ def decode_rgb_fused_soa(
     upsampling inside the kernel (chroma arrives with a one-block-row
     band halo; horizontal neighbors are one-lane shifts).  Requires the
     image to fit one horizontal tile (hbC <= 256) and ``chroma_true``.
+
+    ``interleave_store`` (default on) emits each output pixel row in
+    raster word order inside the kernel via static lane shuffles, so the
+    result is a pure reshape away from (H, W, 3) -- no post-kernel
+    transpose.  JPEG_TPU_PIXEL_STORE=xla restores the old word-phase
+    layout + XLA transpose (perf archaeology only).
     """
     assert band % 8 == 0, band
+    if interleave_store is None:
+        interleave_store = os.environ.get("JPEG_TPU_PIXEL_STORE") != "xla"
     *lead, _sy, _sx, sixtyfour, vbc, hbc = y_soa.shape
     assert (_sy, _sx, sixtyfour) == (sy, sx, 64), y_soa.shape
     n = int(np.prod(lead)) if lead else 1
@@ -412,24 +477,38 @@ def decode_rgb_fused_soa(
             chroma_spec,
         ],
         out_specs=pl.BlockSpec(
+            (1, band, sy, 8, wpg * hb_tile),
+            lambda ni, bi, hi, *_: (ni, bi, 0, 0, hi),
+            memory_space=pltpu.VMEM,
+        )
+        if interleave_store
+        else pl.BlockSpec(
             (1, band, sy, 8, wpg, hb_tile),
             lambda ni, bi, hi, *_: (ni, bi, 0, 0, 0, hi),
             memory_space=pltpu.VMEM,
         ),
     )
+    out_shape = (
+        (n, vbc, sy, 8, wpg * hbc)
+        if interleave_store
+        else (n, vbc, sy, 8, wpg, hbc)
+    )
     packed = pl.pallas_call(
-        functools.partial(_fused_rgb_kernel, sx, sy, fancy_meta),
+        functools.partial(_fused_rgb_kernel, sx, sy, interleave_store, fancy_meta),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, vbc, sy, 8, wpg, hbc), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int32),
         interpret=jax.default_backend() == "cpu",
     )(qty, qtc, y, cb, cr)
-    # Word-phase axis to minor position (the only relayout, on packed
-    # words), then free reshapes + u8 view to (H, W, 3).
     h = vbc * sy * 8
     w = hbc * sx * 8
-    if "notranspose" in _ABLATE:  # perf archaeology: wrong pixel order
+    if interleave_store:
+        # Rows left the kernel raster-major: pure reshape + u8 view.
+        words = packed.reshape(n, h, w * 3 // 4)
+    elif "notranspose" in _ABLATE:  # perf archaeology: wrong pixel order
         words = packed.reshape(n, h, w * 3 // 4)
     else:
+        # Word-phase axis to minor position (the only relayout, on packed
+        # words), then free reshapes + u8 view to (H, W, 3).
         words = packed.transpose(0, 1, 2, 3, 5, 4).reshape(n, h, w * 3 // 4)
     rgb = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(n, h, w, 3)
     return rgb.reshape(*lead, h, w, 3) if lead else rgb[0]
