@@ -7,10 +7,10 @@ ops/entropy_device.py: per (1024-segment batch, block step), iterations
 execute in ``chunk``-sized groups and a group is skipped iff EVERY lane
 in the batch already hit EOB (the kernel's one scalar any-active sync).
 
-This predicts the utilization win BEFORE burning real-TPU compiles
+This bounds the utilization win WITHOUT burning real-TPU compiles
 (each distinct chunk value is a distinct Mosaic program, 1-6 min each --
-CLAUDE.md).  Measured prediction for the bench content (1080p 4:2:0
-quality-85 synthetic, R=1):
+CLAUDE.md).  Prediction for the bench content (1080p 4:2:0 quality-85
+synthetic, R=1):
 
     mean 17.5 AC iterations/block, per-batch-step max ~25-31
     chunk= 4: x2.30   chunk= 8: x2.04   chunk=12: x2.25
@@ -20,6 +20,18 @@ quality-85 synthetic, R=1):
 so raster-contiguous batches already capture most of the coherence and
 length-sorting (which would force a lane un-permute in assembly, the
 exact relayout the R=1 fast path exists to avoid) is NOT worth it.
+
+IMPORTANT CONTEXT -- the real-TPU probe (scripts/probe_entropy_chunk.py,
+docs/ARCHITECTURE.md headroom map #2) measured the lax.cond chunking as
+a LOSS at every granularity (chunk=9: 2.93 ms vs 1.87 baseline; even a
+single mid-loop cond is ~67% slower).  This iteration-count model says
+the SAVINGS side is real (~2x iterations skippable); the measurement
+says the COST side -- the cond as a scheduling barrier that stops the 4
+interleaved segment-batch chains overlapping, plus ~70 spilled vector
+carries -- dwarfs it, and no per-iteration cost S in this table captures
+a barrier that serializes otherwise-overlapped chains.  Keep this script
+as the bound on what any future barrier-free early-exit mechanism could
+win; do not re-probe lax.cond chunking.
 
 The table also prints the break-even: executed iterations plus
 ``nsyncs * S`` for a range of per-sync costs S (in iteration
