@@ -15,6 +15,7 @@ Prints exactly one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -287,6 +288,11 @@ def main() -> None:
         # like a real serving loop would.  Per-frame host work = parse +
         # destuff/pack (+ index scan for DRI-less) + the streams upload.
         tables0 = tuple(jnp.asarray(x) for x in plan0.kernel_tables)
+        # Restart-segment plans take a pinned row width: skips the native
+        # sizing pass (one pass over the entropy bytes instead of two)
+        # and keeps the device program geometry stable across frames.
+        if plan_builder is seg_mod.build_plan:
+            plan_builder = functools.partial(seg_mod.build_plan, nw=plan0.nw)
 
         def host_side():
             par = parse(dat)

@@ -224,8 +224,11 @@ def decode_scan(
         out_ptrs[ci] = arr.ctypes.data_as(ctypes.c_void_p).value
 
     nseg = len(parsed.segments)
-    seg_starts = (ctypes.c_int64 * nseg)(*[s for s, _ in parsed.segments])
-    seg_ends = (ctypes.c_int64 * nseg)(*[e for _, e in parsed.segments])
+    # Keep the numpy arrays referenced until after the native call.
+    starts_np = np.ascontiguousarray(parsed.segments[:, 0])
+    ends_np = np.ascontiguousarray(parsed.segments[:, 1])
+    seg_starts = starts_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    seg_ends = ends_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
     if want_pack:
         # One extra entry per block covers the worst case (DC + 63 AC or
@@ -322,21 +325,28 @@ def max_destuffed_len(
 def pack_streams(
     data: bytes, starts: np.ndarray, ends: np.ndarray, mat: np.ndarray,
     n_threads: Optional[int] = None,
-) -> None:
-    """Destuff + 1-pad each segment into row si of ``mat`` (uint8, C-order)."""
+) -> int:
+    """Destuff + 1-pad each segment into row si of ``mat`` (uint8, C-order).
+
+    Returns the max destuffed segment length in bytes (the same value
+    ``max_destuffed_len`` reports) so a caller packing into a pre-sized
+    matrix in one pass can verify no row truncated.
+    """
     lib = _load()
     assert lib is not None
     assert mat.dtype == np.uint8 and mat.flags.c_contiguous
+    out = ctypes.c_int64(0)
     rc = lib.xjpeg_pack_streams(
         data, len(data),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(starts), mat.shape[1],
-        mat.ctypes.data_as(ctypes.c_void_p), None,
+        mat.ctypes.data_as(ctypes.c_void_p), ctypes.byref(out),
         n_threads if n_threads is not None else default_threads(),
     )
     if rc != 0:
         raise JpegFormatError(f"native pack failed: {_ERROR_NAMES.get(rc, rc)}")
+    return int(out.value)
 
 
 def _tables_and_config(header, scan) -> tuple:

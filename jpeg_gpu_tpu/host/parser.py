@@ -59,18 +59,23 @@ M_COM = 0xFE
 class ParsedJpeg:
     """Parse result: header + location of the entropy-coded data.
 
-    ``segments`` holds one (start, end) byte range per restart segment of
-    the single baseline scan, *excluding* the RSTn markers themselves.  For
-    a stream without restarts there is exactly one segment.
+    ``segments`` is an (nseg, 2) int64 array of (start, end) byte ranges,
+    one row per restart segment of the single baseline scan, *excluding*
+    the RSTn markers themselves.  For a stream without restarts there is
+    exactly one row.  (An array, not tuples: consumers index it
+    wholesale -- build_plan slices the columns straight into the native
+    destuff/pack calls -- and a 1080p R=1 stream has ~8k rows.)
     """
 
     header: JpegHeader
     data: bytes
-    segments: Tuple[Tuple[int, int], ...]
+    segments: np.ndarray
 
     @property
     def entropy_bytes(self) -> int:
-        return sum(e - s for s, e in self.segments)
+        if len(self.segments) == 0:
+            return 0
+        return int((self.segments[:, 1] - self.segments[:, 0]).sum())
 
 
 class _Reader:
@@ -240,13 +245,18 @@ def _parse_sos(r: _Reader, comps: List[Component], validate: bool) -> ScanHeader
 
 def _scan_entropy_segments(
     data: bytes, start: int, expected_segments: Optional[int], validate: bool
-) -> Tuple[Tuple[Tuple[int, int], ...], int]:
+) -> Tuple[np.ndarray, int]:
     """Split the entropy-coded data into restart segments.
 
-    Vectorised byte scan: every 0xFF is either (a) stuffed (followed by
-    0x00, part of entropy data), (b) an RSTn separator, or (c) the
-    terminating marker.  Returns (segments, position_after_scan_data).
-    The RSTn modulo-8 sequence check mirrors xjpeg.c:610-611.
+    Fully vectorised byte scan: every 0xFF is either (a) stuffed
+    (followed by 0x00, part of entropy data), (b) a fill byte (followed
+    by 0xFF), (c) an RSTn separator, or (d) the terminating marker.
+    Segment boundaries are the RSTn positions before the first
+    terminating marker -- pure array arithmetic, no per-segment Python
+    loop (a 1080p R=1 stream has ~8k segments; the loop form was ~60% of
+    the whole parse).  Returns ((nseg, 2) int64 spans, position of the
+    terminating marker).  The RSTn modulo-8 sequence check mirrors
+    xjpeg.c:610-611.
     """
     buf = np.frombuffer(data, dtype=np.uint8)
     ff_pos = np.flatnonzero(buf[start:] == 0xFF) + start
@@ -255,36 +265,40 @@ def _scan_entropy_segments(
     in_range = ff_pos + 1 < len(buf)
     nxt[in_range] = buf[ff_pos[in_range] + 1]
 
-    segments: List[Tuple[int, int]] = []
-    seg_start = start
-    rst_count = 0
-    end_pos = len(data)
-    for pos, marker in zip(ff_pos.tolist(), nxt.tolist()):
-        if pos < seg_start:
-            continue  # inside an already-consumed RST marker pair
-        if marker == 0x00 or marker == 0xFF:
-            continue  # stuffed byte / fill byte: entropy data
-        if M_RST0 <= marker <= M_RST7:
-            if validate and (marker - M_RST0) != (rst_count & 7):
-                raise JpegFormatError(
-                    f"restart marker out of sequence: got RST{marker - M_RST0}, "
-                    f"expected RST{rst_count & 7}"
-                )
-            segments.append((seg_start, pos))
-            seg_start = pos + 2
-            rst_count += 1
-            continue
-        # Any other marker terminates the scan.
-        segments.append((seg_start, pos))
-        end_pos = pos
-        break
+    real = (nxt != 0x00) & (nxt != 0xFF)  # neither stuffed nor fill
+    real_pos = ff_pos[real]
+    real_m = nxt[real]
+    is_rst = (real_m >= M_RST0) & (real_m <= M_RST7)
+    non_rst = np.flatnonzero(~is_rst)
+    if non_rst.size:
+        t = int(non_rst[0])  # markers before the terminating one are RSTs
+        end_pos = int(real_pos[t])
+        final_end = end_pos
     else:
-        segments.append((seg_start, len(data)))
+        t = int(real_pos.size)  # truncated: no terminating marker
+        end_pos = len(data)
+        final_end = len(data)
+    rst_pos = real_pos[:t]
+    if validate and t:
+        seq = (real_m[:t] - M_RST0).astype(np.int64)
+        expect = np.arange(t, dtype=np.int64) & 7
+        bad = np.flatnonzero(seq != expect)
+        if bad.size:
+            b = int(bad[0])
+            raise JpegFormatError(
+                f"restart marker out of sequence: got RST{int(seq[b])}, "
+                f"expected RST{b & 7}"
+            )
+    segments = np.empty((t + 1, 2), dtype=np.int64)
+    segments[0, 0] = start
+    segments[1:, 0] = rst_pos + 2
+    segments[:-1, 1] = rst_pos
+    segments[-1, 1] = final_end
     if expected_segments is not None and validate and len(segments) != expected_segments:
         raise JpegFormatError(
             f"expected {expected_segments} restart segments, found {len(segments)}"
         )
-    return tuple(segments), end_pos
+    return segments, end_pos
 
 
 def parse(data: bytes, headers_only: bool = False, validate: bool = True) -> ParsedJpeg:
@@ -304,7 +318,7 @@ def parse(data: bytes, headers_only: bool = False, validate: bool = True) -> Par
     frame: Optional[Tuple[int, int, int, List[Component]]] = None
     restart_interval = 0
     scan: Optional[ScanHeader] = None
-    segments: Tuple[Tuple[int, int], ...] = ()
+    segments = np.zeros((0, 2), dtype=np.int64)
 
     while True:
         b = r.u8()

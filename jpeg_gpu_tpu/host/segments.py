@@ -19,7 +19,7 @@ bit-serial moves to the device.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -189,7 +189,19 @@ def _table_tensors(header):
     Unused slots decode every window to rank 0 -> the invalid-marker
     entry (len=31) -> flagged; their counts slot 16 is INT32_MIN so every
     window flags as invalid.
+
+    Content-memoized: a serving loop re-parses the same stream per frame
+    and table derivation was ~20%% of plan build; the key hashes the raw
+    (counts, symbols) spec bytes.  Cached arrays are shared read-only.
     """
+    key = tuple(
+        None if spec is None
+        else (spec.counts.tobytes(), spec.symbols.tobytes())
+        for spec in list(header.dc_tables) + list(header.ac_tables)
+    )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     n_tables = 8
     cbase = np.zeros((n_tables, 16), dtype=np.int32)
     counts = np.zeros((n_tables, 17), dtype=np.int32)
@@ -206,11 +218,30 @@ def _table_tensors(header):
         cbase[slot] = b_
         counts[slot] = c_
         symbols[slot] = s_
+    for a in (cbase, counts, symbols):
+        a.setflags(write=False)
+    if len(_TABLE_MEMO) >= 64:
+        _TABLE_MEMO.clear()
+    _TABLE_MEMO[key] = (cbase, counts, symbols)
     return cbase, counts, symbols
 
 
-def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
-    """Pack a parsed JPEG into the device decoder's input layout."""
+_TABLE_MEMO: dict = {}
+
+
+def build_plan(
+    parsed: ParsedJpeg, max_words: int = 1024, nw: Optional[int] = None
+) -> DeviceScanPlan:
+    """Pack a parsed JPEG into the device decoder's input layout.
+
+    ``nw`` pins the words-per-segment row width, skipping the sizing
+    pass over the entropy data (the native path then destuffs in ONE
+    pass and verifies afterwards that no segment truncated).  A serving
+    loop passes the previous plan's ``nw`` for the same stream class:
+    one fewer pass per frame AND a stable device program geometry.
+    Raises ``JpegUnsupportedError`` if a segment needs more than ``nw``
+    words.
+    """
     header = parsed.header
     scan = header.scan
     assert scan is not None
@@ -224,17 +255,30 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
     # twice the device's entire decode time.
     from jpeg_gpu_tpu.host import entropy_native
 
-    starts = np.fromiter((s for s, _ in parsed.segments), np.int64, nseg)
-    ends = np.fromiter((e for _, e in parsed.segments), np.int64, nseg)
+    starts = np.ascontiguousarray(parsed.segments[:, 0])
+    ends = np.ascontiguousarray(parsed.segments[:, 1])
     nbatch = -(-nseg // SEGMENTS_PER_BATCH)
 
     if entropy_native.available():
-        max_len = entropy_native.max_destuffed_len(parsed.data, starts, ends)
-        nw = _check_nw(max_len, max_words)
-        mat = np.full(
-            (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
+        if nw is None:
+            max_len = entropy_native.max_destuffed_len(
+                parsed.data, starts, ends
+            )
+            nw = _check_nw(max_len, max_words)
+        # The native packer 0xFF-pads every row it writes; only the
+        # batch-padding rows past nseg need host-side filling.
+        mat = np.empty(
+            (nbatch * SEGMENTS_PER_BATCH, nw * 4), dtype=np.uint8
         )
-        entropy_native.pack_streams(parsed.data, starts, ends, mat[:nseg])
+        mat[nseg:] = 0xFF
+        got_max = entropy_native.pack_streams(
+            parsed.data, starts, ends, mat[:nseg]
+        )
+        if (got_max + 3) // 4 + 2 > nw:
+            raise JpegUnsupportedError(
+                f"segment needs {(got_max + 3) // 4 + 2} words > pinned "
+                f"nw={nw}; rebuild the plan without the nw hint"
+            )
     else:
         # Stuffed zeros (0xFF 0x00 inside a segment) drop via one boolean
         # mask; surviving bytes scatter with one fancy assignment.
@@ -260,17 +304,29 @@ def build_plan(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
         offs = np.arange(kept.size, dtype=np.int64) - np.repeat(
             kept_before, counts
         )
-        nw = _check_nw(int(counts.max(initial=0)), max_words)
+        need = _check_nw(int(counts.max(initial=0)), max_words)
+        if nw is None:
+            nw = need
+        elif need > nw:
+            raise JpegUnsupportedError(
+                f"segment needs {need} words > pinned nw={nw}; rebuild "
+                "the plan without the nw hint"
+            )
         mat = np.full(
             (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
         )
         mat[kseg, offs] = kept
 
-    words = mat.view(">u4").astype(np.uint32)   # (nseg_padded, nw)
-    streams = np.ascontiguousarray(
-        words.reshape(nbatch, SEGMENTS_PER_BATCH, nw).transpose(0, 2, 1)
-    ).view(np.int32)
-    streams = streams.reshape(nbatch, nw, SUBLANES, LANES)
+    # One strided pass does byteswap + (batch, seg, word)->(batch, word,
+    # seg) relayout together (astype of a transposed big-endian view).
+    streams = (
+        mat.view(">u4")
+        .reshape(nbatch, SEGMENTS_PER_BATCH, nw)
+        .transpose(0, 2, 1)
+        .astype(np.uint32)
+        .view(np.int32)
+        .reshape(nbatch, nw, SUBLANES, LANES)
+    )
 
     comp_steps, dc_steps, ac_steps, bpm = _step_maps(header, scan, interval)
     cbase, counts, symbols = _table_tensors(header)

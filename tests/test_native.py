@@ -114,3 +114,32 @@ def test_native_pack_stream_matches_python():
             np.testing.assert_array_equal(a, b)
         for a, b in zip(got.coefs, ref.coefs):
             np.testing.assert_array_equal(a, b)
+
+
+def test_build_plan_pinned_nw():
+    """The serving loop's pinned-nw fast path: one-pass pack, identical
+    plan, clean rejection when a segment would truncate."""
+    from unittest import mock
+
+    from jpeg_gpu_tpu.errors import JpegUnsupportedError
+    from jpeg_gpu_tpu.host import segments
+    from jpeg_gpu_tpu.host.parser import parse
+
+    img = corpus.synthetic_rgb(80, 120, seed=11)
+    data = corpus.pil_jpeg(
+        img, quality=90, subsampling="4:2:0", restart_marker_blocks=2
+    )
+    parsed = parse(data)
+    ref = segments.build_plan(parsed)
+    for native in (True, False):
+        with mock.patch.object(
+            entropy_native, "available", return_value=native
+        ):
+            pinned = segments.build_plan(parsed, nw=ref.nw)
+            np.testing.assert_array_equal(pinned.streams, ref.streams)
+            assert pinned.nw == ref.nw
+            # Wider pin: valid, 0xFF-padded wider rows.
+            wide = segments.build_plan(parsed, nw=ref.nw + 3)
+            assert wide.nw == ref.nw + 3
+            with pytest.raises(JpegUnsupportedError):
+                segments.build_plan(parsed, nw=max(1, ref.nw - 3))
