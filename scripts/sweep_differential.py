@@ -127,6 +127,25 @@ def main() -> int:
                 data, impl="tpu", entropy="device", upsample=ups
             )
             checks["device_entropy_eq"] = bool(np.array_equal(dev, tpu))
+            if i == n:  # once per sweep, on the first pinned wide config:
+                # the fused kernel's raster-major in-kernel store (the
+                # default) against the post-kernel XLA transpose store --
+                # two independent compiled lowerings of the same pixels.
+                # The store choice resolves inside the jitted trace, so
+                # the cache must be cleared around the env flip (costs
+                # one extra compile of this geometry, once per sweep).
+                from jpeg_gpu_tpu.engine import pipeline as _pl
+
+                os.environ["JPEG_TPU_PIXEL_STORE"] = "xla"
+                _pl.decode_rgb_soa.clear_cache()
+                try:
+                    alt = jt.decode(data, impl="tpu", upsample=ups)
+                finally:
+                    del os.environ["JPEG_TPU_PIXEL_STORE"]
+                    _pl.decode_rgb_soa.clear_cache()
+                checks["raster_eq_xla_store"] = bool(
+                    np.array_equal(alt, tpu)
+                )
             ok = all(checks.values())
             checks["rgb_sha"] = _checksum(tpu)
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
