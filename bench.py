@@ -443,5 +443,63 @@ def main() -> None:
     )
 
 
+def _supervised() -> int:
+    """Run the real bench in a child process; on failure retry once with
+    the round-1-validated conservative kernel switches.
+
+    A failed Pallas program can wedge the device for the rest of its
+    process (CLAUDE.md), so an in-process retry is unreliable -- the
+    supervisor pattern guarantees the driver still gets its one JSON
+    line if a newer default lowering regresses on the current toolchain.
+    stdout stays exactly the child's JSON line; stderr streams through.
+    """
+    import os
+    import subprocess
+
+    attempts = [
+        {},
+        # Fallback: post-kernel XLA-transpose pixel store (the round-1
+        # serving path) in place of the raster-major in-kernel store.
+        {"JPEG_TPU_PIXEL_STORE": "xla"},
+    ]
+    for i, extra in enumerate(attempts):
+        env = dict(os.environ, JPEG_TPU_BENCH_CHILD="1", **extra)
+        if extra:
+            print(f"[bench] retrying with {extra}", file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, timeout=2700,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i} timed out", file=sys.stderr, flush=True)
+            continue
+        out = proc.stdout.decode().strip()
+        if proc.returncode == 0 and out.startswith("{"):
+            print(out.splitlines()[-1])
+            return 0
+        print(
+            f"[bench] attempt {i} failed (rc={proc.returncode})",
+            file=sys.stderr, flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "device_decode_1080p_420_mpix_per_s",
+                "value": 0,
+                "unit": "Mpix/s",
+                "vs_baseline": 0,
+                "detail": {"error": "bench child failed on all attempts"},
+            }
+        )
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if _os.environ.get("JPEG_TPU_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(_supervised())
