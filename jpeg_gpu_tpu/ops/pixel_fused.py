@@ -205,7 +205,13 @@ def _interleave_row(words, hbc):
 
             def gat(c, tile=tile):
                 chunk = tile[:, c * 128 : min((c + 1) * 128, hbc)]
-                idx = jnp.clip(src - c * 128, 0, chunk.shape[1] - 1)
+                true_w = chunk.shape[1]
+                if true_w < 128:
+                    # Gather from an exactly-128-lane tile (the shape the
+                    # Mosaic lane-shuffle gather is verified on); indices
+                    # stay clipped inside the true lanes.
+                    chunk = jnp.pad(chunk, ((0, 0), (0, 128 - true_w)))
+                idx = jnp.clip(src - c * 128, 0, true_w - 1)
                 return jnp.take_along_axis(chunk, idx, axis=1)
 
             if c0 == c1:
