@@ -168,20 +168,24 @@ class Decoder:
             upload = 0
             tables = 0
         elif getattr(self, "entropy", None) == "device":
-            from jpeg_gpu_tpu.host.segments import build_plan
+            # Size the plan decode() actually ships: build_plan_auto routes
+            # DRI-less streams through the index-scan pseudo-segment
+            # builder (build_plan_no_dri), whose payload includes the
+            # per-pseudo-segment DC predictor bases.
+            from jpeg_gpu_tpu.host.segments import build_plan_auto
 
             try:
-                plan = build_plan(self._parse())
+                plan = build_plan_auto(self._parse())
             except Exception:
                 upload = coef_b  # planner rejected: host-entropy fallback
             else:
                 mode = "bits"
                 upload = plan.streams.nbytes
+                if plan.dc_base is not None:
+                    upload += plan.dc_base.nbytes
                 tables = (
-                    plan.cbase.nbytes + plan.counts.nbytes
-                    + plan.symbols.nbytes + plan.comp_of_step.nbytes
-                    + plan.dc_slot_of_step.nbytes
-                    + plan.ac_slot_of_step.nbytes + 64 * 4 * hdr.ncomps
+                    sum(t.nbytes for t in plan.kernel_tables)
+                    + 64 * 4 * hdr.ncomps
                 )
         elif getattr(self, "upload", "coefs") == "pack":
             mode = "pack"

@@ -76,6 +76,11 @@ _ABLATE = frozenset(
     t for t in os.environ.get("JPEG_TPU_ENTROPY_ABLATE", "").split(",") if t
 )
 
+# Refill word-fetch form: "tree" (default; balanced disjoint-mask sum) or
+# "chain" (the round-2 serial select chain, kept for A/B measurement).
+# Bit-identical outputs either way; read once at trace time.
+_FETCH_FORM = os.environ.get("JPEG_TPU_ENTROPY_FETCH", "tree")
+
 
 def _lsr(x, n):
     """Logical shift right with per-lane counts; n must be in [0, 31]."""
@@ -166,17 +171,28 @@ def _decode_tile(
 
         A masked scan over the word axis -- the only per-lane row gather
         Mosaic can express today.  Statically unrolled for small streams
-        (no loop/branch overhead in the hot path).
+        (no loop/branch overhead in the hot path), and combined as a
+        BALANCED TREE: the wp==w masks are disjoint (at most one word
+        matches; overrun lanes match none and fetch 0), so the masked
+        terms sum associatively -- depth log2(nw) instead of the nw-deep
+        select chain, which sat on every symbol's refill critical path.
         """
         if "nofetch" in _ABLATE:
             return stream_ref[u, 0]
         if (nw <= 512 and unroll) or nw <= 64:
             # Unrolled even at large word counts: a serial fori fetch per
             # symbol measured ~10x slower at nw=146 (R=8 segments).
-            acc = jnp.zeros(SEG_SHAPE, jnp.int32)
-            for w in range(nw):
-                acc = jnp.where(wp == w, stream_ref[u, w], acc)
-            return acc
+            if _FETCH_FORM == "chain":  # the round-2 form, kept measurable
+                acc = jnp.zeros(SEG_SHAPE, jnp.int32)
+                for w in range(nw):
+                    acc = jnp.where(wp == w, stream_ref[u, w], acc)
+                return acc
+            return _tree_sum(
+                [
+                    jnp.where(wp == w, stream_ref[u, w], 0)
+                    for w in range(nw)
+                ]
+            )
 
         def body(w, acc):
             return jnp.where(wp == w, stream_ref[u, w], acc)

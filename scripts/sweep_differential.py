@@ -18,8 +18,9 @@ reference -- the role of the reference's designed-in differential duality
 (jpeg_gpu.c:546-557), automated.
 
 Each distinct geometry compiles (~30-90 s first run; cached after), so the
-default 14 configs keep the run bounded (~15 min warm cache).  Run solo --
-compiles contend for the single CPU core.
+default 14 random + 4 pinned configs keep the run bounded (~20 min warm
+cache; the three store cross-checks each cost one extra compile).  Run
+solo -- compiles contend for the single CPU core.
 
 Usage: python scripts/sweep_differential.py [n_configs] [seed] [out.json]
 """
@@ -56,28 +57,34 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 2026
     out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
-        repo, "SWEEP_r02.json"
+        repo, "SWEEP_r03.json"
     )
     rng = np.random.default_rng(seed)
     modes = ["4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
     # Pinned configs the random draw cannot reach: wide frames whose
     # chroma-block count straddles a 128-lane gather chunk in the fused
-    # kernel's raster-major store (hbC > 128), and a vsamp=4 geometry
-    # through the compiled general path.  (h, w, q, mode, restart, ups).
+    # kernel's raster-major store (hbC > 128), a 4K-class width whose
+    # store spans THREE gather chunks (hbC > 256), and a vsamp=4 geometry
+    # through the compiled general (unfused) path.
+    # (h, w, q, mode, restart, ups, store_xcheck) -- store_xcheck marks
+    # fused-path configs where the raster-major in-kernel store is
+    # cross-checked against the post-kernel XLA-transpose store.
     pinned = [
-        (48, 2100, 85, "4:2:0", 1, "fancy"),    # hbC=132: chunk straddle
-        (40, 1200, 75, "4:4:4", 0, "nearest"),  # hbC=150 + DRI-less device
-        (64, 40, 85, "h2v4", 1, "nearest"),     # vsamp=4 general path
+        (48, 2100, 85, "4:2:0", 1, "fancy", True),    # hbC=132 straddle, fancy
+        (40, 1200, 75, "4:4:4", 0, "nearest", True),  # hbC=150 + DRI-less dev
+        (48, 4200, 85, "4:2:0", 1, "nearest", True),  # hbC=263: three chunks
+        (64, 40, 85, "h2v4", 1, "nearest", False),    # vsamp=4 general path
     ]
     records = []
     fails = 0
     t_start = time.time()
     for i in range(n + len(pinned)):
         if i >= n:
-            h, w, q, mode_pin, r, ups_pin = pinned[i - n]
+            h, w, q, mode_pin, r, ups_pin, store_xcheck = pinned[i - n]
             gray = False
             fancy = ups_pin == "fancy"
         else:
+            store_xcheck = False
             h = int(rng.integers(9, 230))
             w = int(rng.integers(9, 230))
             q = int(rng.integers(30, 97))
@@ -127,13 +134,15 @@ def main() -> int:
                 data, impl="tpu", entropy="device", upsample=ups
             )
             checks["device_entropy_eq"] = bool(np.array_equal(dev, tpu))
-            if i == n:  # once per sweep, on the first pinned wide config:
+            if store_xcheck:  # every fused-path pinned config:
                 # the fused kernel's raster-major in-kernel store (the
                 # default) against the post-kernel XLA transpose store --
-                # two independent compiled lowerings of the same pixels.
-                # The store choice resolves inside the jitted trace, so
-                # the cache must be cleared around the env flip (costs
-                # one extra compile of this geometry, once per sweep).
+                # two independent compiled lowerings of the same pixels,
+                # covering the one-, two- and three-gather-chunk widths
+                # and the fancy in-kernel filters.  The store choice
+                # resolves inside the jitted trace, so the cache must be
+                # cleared around the env flip (costs one extra compile
+                # of each cross-checked geometry).
                 from jpeg_gpu_tpu.engine import pipeline as _pl
 
                 os.environ["JPEG_TPU_PIXEL_STORE"] = "xla"

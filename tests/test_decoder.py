@@ -254,3 +254,25 @@ def test_io_bytes_accounting():
 
     assert get_decoder(enc.data, impl="host").io_bytes("rgb")["upload"] == 0
     assert get_decoder(enc.data, impl="pil").io_bytes("rgb")["upload"] == 0
+
+
+def test_io_bytes_device_no_dri():
+    """entropy="device" io_bytes sizes the plan decode() actually ships:
+    a DRI-less stream routes through build_plan_auto -> build_plan_no_dri
+    (index-scan pseudo segments), so the reported upload must be that
+    plan's streams plus the per-pseudo-segment DC bases -- not the
+    single-mega-segment plan build_plan would size."""
+    from jpeg_gpu_tpu.engine.decoder import get_decoder
+    from jpeg_gpu_tpu.host import entropy_native
+    from jpeg_gpu_tpu.host.parser import parse
+    from jpeg_gpu_tpu.host.segments import build_plan_auto
+
+    if not entropy_native.available():
+        pytest.skip("native index scan unavailable")
+    img = corpus.synthetic_gray(64, 64, seed=22)
+    data = corpus.pil_jpeg(img, quality=85)  # no restart markers
+    plan = build_plan_auto(parse(data))
+    assert plan.dc_base is not None  # really the pseudo-segment path
+    io = get_decoder(data, impl="tpu", entropy="device").io_bytes("rgb")
+    assert io["payload"] == "bits"
+    assert io["upload"] == plan.streams.nbytes + plan.dc_base.nbytes
