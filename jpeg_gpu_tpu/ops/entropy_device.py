@@ -81,6 +81,19 @@ _ABLATE = frozenset(
 # Bit-identical outputs either way; read once at trace time.
 _FETCH_FORM = os.environ.get("JPEG_TPU_ENTROPY_FETCH", "tree")
 
+# Accumulate form for the unrolled AC loop: "packed" (two 16-bit
+# coefficient rows per int32 register, OR-combined) or "rows" (one int32
+# register per row, add-combined -- the round-2 form).
+# OR is sound because each AC position is written AT MOST ONCE per block
+# (write positions strictly increase within the loop) and the low-16-bit
+# pack + arithmetic-shift unpack is exactly the .astype(int16) the output
+# takes anyway.  Halves the one-hot row sweep -- the kernel's largest
+# single issue-bandwidth cost.  Bit-identical outputs either way
+# (tests/test_device_entropy.py); default set by measurement
+# (scripts/probe_entropy_chunk.py, 1080p R=1 x8: packed 1.917 ms/batch vs
+# rows 2.065 -- a 7.7% kernel win; JPEG_TPU_ENTROPY_ACC=rows for A/B).
+_ACC_FORM = os.environ.get("JPEG_TPU_ENTROPY_ACC", "packed")
+
 
 def _lsr(x, n):
     """Logical shift right with per-lane counts; n must be in [0, 31]."""
@@ -371,8 +384,19 @@ def _decode_tile(
         # newk = k+run+1 >= i+1 (k advances >= 1 per non-EOB symbol), so
         # the one-hot add only touches rows i+1..63 -- half the work of a
         # fixed 64-row sweep, the kernel's largest single cost.
+        #
+        # _ACC_FORM == "packed" halves that sweep again: rows 2*j2 and
+        # 2*j2+1 share one int32 register (low/high 16 bits).  Sound
+        # because every nonzero write has a strictly larger position than
+        # the previous one in its lane (k advances on every written
+        # symbol), so OR never merges two values, and 16 bits lose
+        # nothing the final .astype(int16) wasn't already dropping.
+        packed = _ACC_FORM == "packed"
         zero = jnp.zeros(SEG_SHAPE, jnp.int32)
-        rows = [dc] + [zero] * 63
+        if packed:
+            rows = [dc & 0xFFFF] + [zero] * 31
+        else:
+            rows = [dc] + [zero] * 63
 
         def run_iters(lo_i, hi_i, carry, rows):
             rows = list(rows)
@@ -380,6 +404,13 @@ def _decode_tile(
                 carry, newk, valw = ac_decode(carry)
                 if "noacc" in _ABLATE:
                     carry = carry[:-1] + (carry[-1] + valw,)
+                elif packed:
+                    # newk >= i+1, so only register pairs (i+1)//2 .. 31
+                    # can be hit; newk > 63 (overrun) has valw == 0.
+                    j2t = _lsr(newk, 1)
+                    payload = jnp.left_shift(valw & 0xFFFF, (newk & 1) * 16)
+                    for j2 in range((i + 1) // 2, 32):
+                        rows[j2] = rows[j2] | jnp.where(j2t == j2, payload, 0)
                 else:
                     for j in range(i + 1, 64):
                         rows[j] = rows[j] + jnp.where(newk == j, valw, 0)
@@ -410,6 +441,17 @@ def _decode_tile(
         else:
             carry, rows = run_iters(0, 63, carry, tuple(rows))
             rows = list(rows)
+        if packed:
+            # Unpack: arithmetic shifts sign-extend each 16-bit half --
+            # identical to the int16 truncation the output takes.
+            unpacked = []
+            for j2 in range(32):
+                w = rows[j2]
+                unpacked.append(
+                    jax.lax.shift_right_arithmetic(jnp.left_shift(w, 16), 16)
+                )
+                unpacked.append(jax.lax.shift_right_arithmetic(w, 16))
+            rows = unpacked
         # De-zig-zag for free: emit rows in natural order (a static
         # permutation of the register list at stack time).
         acc = jnp.stack([rows[int(z)] for z in DEZIGZAG])
@@ -488,8 +530,11 @@ def decode_segments_device_multi(
     ``interleave`` (U) is the number of segment batches decoded per grid
     step.  One batch is a single serial dependency chain (lockstep lanes)
     and leaves the VPU mostly idle on latency; U independent chains fill
-    the bubbles.  Default: up to 4, bounded by B.  B is zero-padded to a
-    multiple of U (padded batches decode a zero stream; their rows are
+    the bubbles.  Default: up to 4, bounded by B -- measured optimal:
+    U=6/8 LOSE at the 1080p R=1 shape (2.00/2.00 ms packed vs 1.92 at
+    U=4; register pressure beats the extra chain overlap -- round-3
+    probe matrix, scripts/probe_entropy_chunk.py).  B is zero-padded to
+    a multiple of U (padded batches decode a zero stream; their rows are
     sliced off before returning).
 
     ``ac_chunk`` (unrolled path only) groups the 63 AC iterations into

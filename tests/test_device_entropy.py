@@ -221,20 +221,30 @@ def test_assemble_soa_r1_fast_path(geom, nvmb, nhmb, b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
 
 
-@pytest.mark.parametrize("chunk", [9])
-def test_unrolled_chunked_early_exit_bit_identical(chunk):
-    """The chunked early-exit form of the UNROLLED AC loop (the compiled
-    TPU path's structure: run_iters chunks under lax.cond any-active
-    syncs) produces bit-identical coefficients.  Interpret mode at a tiny
-    geometry keeps the 63x-unrolled trace affordable; the compiled form
-    at serving shapes is covered by scripts/sweep_differential.py and
-    scripts/probe_entropy_chunk.py on real hardware."""
+@pytest.mark.parametrize("form", ["packed", "rows"])
+def test_unrolled_chunked_accumulate_forms_bit_identical(form, monkeypatch):
+    """The UNROLLED AC loop (the compiled TPU path's run_iters structure,
+    chunked under lax.cond any-active syncs so interpret mode can afford
+    the trace -- the plain 63x-unrolled form compiles ~20 min on this
+    1-core host) is bit-identical to the fori reference under BOTH
+    accumulate forms: "packed" (the measured default: two 16-bit
+    coefficient rows OR-combined per int32 register) and "rows" (one
+    register per row).  OR is sound because write positions strictly
+    increase per lane (see test_unrolled_write_position_invariant), so
+    it never merges two values; q95 makes the blocks dense enough to hit
+    high zigzag positions and negative values in BOTH register halves.
+    The compiled unrolled form at serving shapes is covered on real
+    hardware by scripts/sweep_differential.py (18-config differential)
+    and scripts/probe_entropy_chunk.py (bit-identity assert per run)."""
+    from jpeg_gpu_tpu.ops import entropy_device as edev
+
+    monkeypatch.setattr(edev, "_ACC_FORM", form)
     img = corpus.synthetic_gray(16, 24, seed=17)
-    enc = corpus.own_jpeg(img, quality=70, restart_interval=1)
+    enc = corpus.own_jpeg(img, quality=95, restart_interval=1)
     parsed = parse(enc.data)
     ref = entropy.decode_scan(parsed)
     res = entropy_decode_device(
-        parsed, interpret=True, unroll=True, ac_chunk=chunk
+        parsed, interpret=True, unroll=True, ac_chunk=9
     )
     for a, b in zip(res.coefs, ref.coefs):
         np.testing.assert_array_equal(np.asarray(a), b.astype(np.int16))
