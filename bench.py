@@ -288,11 +288,16 @@ def main() -> None:
         # like a real serving loop would.  Per-frame host work = parse +
         # destuff/pack (+ index scan for DRI-less) + the streams upload.
         tables0 = tuple(jnp.asarray(x) for x in plan0.kernel_tables)
-        # Restart-segment plans take a pinned row width: skips the native
-        # sizing pass (one pass over the entropy bytes instead of two)
-        # and keeps the device program geometry stable across frames.
+        # Plans take a pinned row width: restart streams skip the native
+        # sizing pass, DRI-less streams fuse scan+pack into ONE destuffed
+        # pass (segments.build_plan_no_dri nw=...), and the device
+        # program geometry stays stable across frames.
         if plan_builder is seg_mod.build_plan:
             plan_builder = functools.partial(seg_mod.build_plan, nw=plan0.nw)
+        elif plan_builder is seg_mod.build_plan_auto:
+            plan_builder = functools.partial(
+                seg_mod.build_plan_auto, nw=plan0.nw
+            )
 
         def host_side():
             par = parse(dat)
@@ -310,6 +315,28 @@ def main() -> None:
 
         rgb, err = one_frame(*host_side())  # warm / compile
         jax.block_until_ready(rgb)
+        # Stage breakdown for the artifact: per-frame host work (parse +
+        # plan, no device objects) and host+upload (adds the device_put;
+        # the tunnel's ~40-130 MB/s effective bandwidth makes this the
+        # e2e ceiling in THIS container -- real hosts upload over PCIe).
+        def best_of(fn, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best / n_frames * 1e3
+
+        def host_work():
+            for _ in range(n_frames):
+                plan_builder(parse(dat))
+
+        def upload_work():
+            for _ in range(n_frames):
+                host_side()
+
+        host_ms = best_of(host_work)
+        upload_ms = best_of(upload_work)
         best = float("inf")
         # A 2-deep producer pipeline: the upload thread's blocking waits
         # (device_put through the ~30 ms-latency tunnel) release the GIL,
@@ -333,11 +360,11 @@ def main() -> None:
             jax.block_until_ready(outs)     # drain the tail
             best = min(best, time.perf_counter() - t0)
         mpx = hd.width * hd.height * n_frames / 1e6
-        return mpx / best, plan0.streams.nbytes
+        return mpx / best, plan0.streams.nbytes, host_ms, upload_ms
 
     _stage("e2e bytes->pixels (host parse/pack overlapped)")
     img_e2e = corpus.synthetic_rgb(1080, 1920, seed=1)
-    e2e, bits_bytes_frame = e2e_mpix_s(
+    e2e, bits_bytes_frame, e2e_host_ms, e2e_up_ms = e2e_mpix_s(
         corpus.pil_jpeg(
             img_e2e, quality=85, subsampling="4:2:0", restart_marker_blocks=1
         ),
@@ -350,13 +377,13 @@ def main() -> None:
     from jpeg_gpu_tpu.host import entropy_native as en_mod
 
     if en_mod.available():
-        e2e_nodri, _ = e2e_mpix_s(
+        e2e_nodri, _, nodri_host_ms, nodri_up_ms = e2e_mpix_s(
             corpus.pil_jpeg(img_e2e, quality=85, subsampling="4:2:0"),
             seg_mod.build_plan_auto,
             n_frames=12,
         )
     else:
-        e2e_nodri = 0.0
+        e2e_nodri = nodri_host_ms = nodri_up_ms = 0.0
     # BASELINE config #3: 4K 4:2:2, fully on-device decode (batch 2).
     _stage("full on-device 4K 4:2:2: compile + measure")
     mpix4k = full_decode_mpix_s(2160, 3840, "4:2:2", 2, 4, 16)
@@ -427,6 +454,15 @@ def main() -> None:
                     "full_4k422_device_decode_mpix_per_s": round(mpix4k, 1),
                     "e2e_bytes_to_pixels_mpix_per_s": round(e2e, 1),
                     "e2e_no_dri_mpix_per_s": round(e2e_nodri, 1),
+                    # Per-frame stage floors under the e2e loops: host
+                    # work alone, then host + the tunnel device_put (the
+                    # container's upload bandwidth wall; see profile_e2e).
+                    "e2e_host_ms_per_frame": round(e2e_host_ms, 2),
+                    "e2e_host_upload_ms_per_frame": round(e2e_up_ms, 2),
+                    "e2e_no_dri_host_ms_per_frame": round(nodri_host_ms, 2),
+                    "e2e_no_dri_host_upload_ms_per_frame": round(
+                        nodri_up_ms, 2
+                    ),
                     # Bytes shipped per frame at the two serving cuts (the
                     # reference's img.packed variable, jpeg_gpu.c:803,1287).
                     "upload_bytes_coefs_frame": int(

@@ -138,6 +138,24 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,                      # mat
             ctypes.c_int32,                       # n_threads
         ]
+        lib.xjpeg_index_scan_pack.restype = ctypes.c_int32
+        lib.xjpeg_index_scan_pack.argtypes = [
+            ctypes.c_char_p,                      # data
+            ctypes.c_int64,                       # len
+            ctypes.c_int64,                       # seg_start
+            ctypes.c_int64,                       # seg_end
+            ctypes.c_char_p,                      # huff_counts
+            ctypes.c_char_p,                      # huff_symbols
+            ctypes.c_char_p,                      # huff_present
+            ctypes.POINTER(_ScanConfig),
+            ctypes.c_int64,                       # interval
+            ctypes.c_void_p,                      # out_bitpos i64
+            ctypes.c_void_p,                      # out_dc i32
+            ctypes.POINTER(ctypes.c_int64),       # out_end
+            ctypes.c_int64,                       # row_bytes
+            ctypes.c_void_p,                      # mat
+            ctypes.c_int32,                       # n_threads
+        ]
         _lib = lib
         return lib
 
@@ -413,6 +431,51 @@ def index_scan(
     if rc != 0:
         raise JpegFormatError(
             f"native index scan failed: {_ERROR_NAMES.get(rc, rc)}"
+        )
+    return bitpos, dc_base, int(end.value)
+
+
+def index_scan_pack(
+    parsed: ParsedJpeg, interval: int, mat: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> tuple:
+    """Fused index_scan + pack_streams_bits: one destuff pass per frame.
+
+    ``mat`` rows (pinned width) receive the bit-aligned pseudo segments;
+    returns (bitpos, dc_base, end_bit).  Raises JpegUnsupportedError-like
+    JpegFormatError("pack stream capacity overflow") if a segment needs
+    more than mat.shape[1] bytes -- the caller rebuilds without the pin.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    header = parsed.header
+    scan = header.scan
+    if scan is None:
+        raise JpegFormatError("no scan to decode")
+    if len(parsed.segments) != 1:
+        raise ValueError("index_scan_pack is for single-segment streams")
+    assert mat.dtype == np.uint8 and mat.flags.c_contiguous
+    counts, symbols, present, cfg = _tables_and_config(header, scan)
+    s0, e0 = parsed.segments[0]
+    nseg = -(-header.n_mcus // interval)
+    assert mat.shape[0] >= nseg
+    bitpos = np.zeros(nseg, dtype=np.int64)
+    dc_base = np.zeros((nseg, cfg.ncomps), dtype=np.int32)
+    end = ctypes.c_int64(0)
+    rc = lib.xjpeg_index_scan_pack(
+        parsed.data, len(parsed.data), s0, e0,
+        counts.tobytes(), symbols.tobytes(), present.tobytes(),
+        ctypes.byref(cfg), interval,
+        bitpos.ctypes.data_as(ctypes.c_void_p),
+        dc_base.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(end), mat.shape[1],
+        mat.ctypes.data_as(ctypes.c_void_p),
+        n_threads if n_threads is not None else default_threads(),
+    )
+    if rc != 0:
+        raise JpegFormatError(
+            f"native fused scan+pack failed: {_ERROR_NAMES.get(rc, rc)}"
         )
     return bitpos, dc_base, int(end.value)
 

@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from jpeg_gpu_tpu.errors import JpegUnsupportedError
+from jpeg_gpu_tpu.errors import JpegFormatError, JpegUnsupportedError
 from jpeg_gpu_tpu.host.parser import ParsedJpeg
 from jpeg_gpu_tpu.info import HuffmanSpec
 
@@ -350,6 +350,7 @@ def build_plan_no_dri(
     parsed: ParsedJpeg,
     mcus_per_segment: int = 1,
     max_words: int = 1024,
+    nw: Optional[int] = None,
 ) -> DeviceScanPlan:
     """Device-decode plan for a DRI-less stream via the native index scan.
 
@@ -359,6 +360,12 @@ def build_plan_no_dri(
     packs those pseudo-segments bit-aligned.  The kernel decodes them
     exactly like real restart segments; ``dc_base`` carries the DC
     predictor continuation the device adds back after decode.
+
+    ``nw`` pins the words-per-segment row width (the serving-loop hint,
+    same contract as build_plan's): scan and pack then FUSE into one
+    native call over one destuff pass (xjpeg_index_scan_pack) -- the
+    split form destuffs the scan span twice per frame.  Raises
+    ``JpegUnsupportedError`` if a segment needs more than ``nw`` words.
 
     Default one MCU per pseudo segment: maximal lane parallelism, minimal
     per-segment word count, and the R=1 no-relayout assembly fast path.
@@ -371,17 +378,37 @@ def build_plan_no_dri(
     if header.restart_interval or len(parsed.segments) != 1:
         raise ValueError("build_plan_no_dri is for single-segment streams")
     k = mcus_per_segment
-    bitpos, dc_base, end_bit = entropy_native.index_scan(parsed, k)
-    nseg = len(bitpos)
-    nbatch = -(-nseg // SEGMENTS_PER_BATCH)
+    if nw is not None:
+        nseg = -(-header.n_mcus // k)
+        nbatch = -(-nseg // SEGMENTS_PER_BATCH)
+        mat = np.full(
+            (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
+        )
+        try:
+            bitpos, dc_base, end_bit = entropy_native.index_scan_pack(
+                parsed, k, mat[:nseg]
+            )
+        except JpegFormatError as e:
+            if "capacity overflow" not in str(e):
+                raise
+            raise JpegUnsupportedError(
+                f"pseudo segment exceeds pinned nw={nw}; rebuild the "
+                "plan without the nw hint"
+            ) from e
+    else:
+        bitpos, dc_base, end_bit = entropy_native.index_scan(parsed, k)
+        nseg = len(bitpos)
+        nbatch = -(-nseg // SEGMENTS_PER_BATCH)
 
-    # Longest pseudo segment in destuffed bytes, +1 for the shift tail.
-    bounds = np.concatenate([bitpos, [end_bit]])
-    lens_bits = np.diff(bounds)
-    max_bytes = int(-(-(lens_bits.max(initial=0)) // 8) + 1)
-    nw = _check_nw(max_bytes, max_words)
-    mat = np.full((nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8)
-    entropy_native.pack_streams_bits(parsed, bitpos, end_bit, mat[:nseg])
+        # Longest pseudo segment in destuffed bytes, +1 for the shift tail.
+        bounds = np.concatenate([bitpos, [end_bit]])
+        lens_bits = np.diff(bounds)
+        max_bytes = int(-(-(lens_bits.max(initial=0)) // 8) + 1)
+        nw = _check_nw(max_bytes, max_words)
+        mat = np.full(
+            (nbatch * SEGMENTS_PER_BATCH, nw * 4), 0xFF, dtype=np.uint8
+        )
+        entropy_native.pack_streams_bits(parsed, bitpos, end_bit, mat[:nseg])
 
     words = mat.view(">u4").astype(np.uint32)
     streams = np.ascontiguousarray(
@@ -408,22 +435,27 @@ def build_plan_no_dri(
     )
 
 
-def build_plan_auto(parsed: ParsedJpeg, max_words: int = 1024) -> DeviceScanPlan:
+def build_plan_auto(
+    parsed: ParsedJpeg, max_words: int = 1024, nw: Optional[int] = None
+) -> DeviceScanPlan:
     """build_plan for restart streams; the index-scan pseudo-segment plan
     for DRI-less streams when the native library is available (most
-    real-world JPEGs carry no DRI -- SURVEY hard part 1's gap, closed)."""
+    real-world JPEGs carry no DRI -- SURVEY hard part 1's gap, closed).
+    ``nw`` is the serving-loop row-width pin, forwarded to either builder
+    (for DRI-less streams it additionally fuses scan+pack into one native
+    pass)."""
     header = parsed.header
     if (
         header.restart_interval
         or len(parsed.segments) != 1
         or header.n_mcus < 2
     ):
-        return build_plan(parsed, max_words)
+        return build_plan(parsed, max_words, nw=nw)
     from jpeg_gpu_tpu.host import entropy_native
 
     if not entropy_native.available():
-        return build_plan(parsed, max_words)  # single mega-segment
-    return build_plan_no_dri(parsed, max_words=max_words)
+        return build_plan(parsed, max_words, nw=nw)  # single mega-segment
+    return build_plan_no_dri(parsed, max_words=max_words, nw=nw)
 
 
 @dataclasses.dataclass

@@ -41,6 +41,25 @@ def test_plan_auto_picks_index_scan():
     assert plan.mcus_per_segment == 1
 
 
+def test_pinned_nw_fused_plan_identical():
+    """The serving loop's pinned-nw plan (ONE fused native scan+pack pass,
+    xjpeg_index_scan_pack) is byte-identical to the two-pass build, and
+    an undersized pin raises instead of truncating (build_plan parity)."""
+    from jpeg_gpu_tpu.errors import JpegUnsupportedError
+
+    d = corpus.pil_jpeg(
+        corpus.synthetic_rgb(56, 72, seed=9), quality=92, subsampling="4:2:0"
+    )
+    parsed = parse(d)
+    p0 = segments.build_plan_no_dri(parsed)
+    p1 = segments.build_plan_auto(parsed, nw=p0.nw)
+    np.testing.assert_array_equal(p0.streams, p1.streams)
+    np.testing.assert_array_equal(p0.dc_base, p1.dc_base)
+    assert (p0.n_segments, p0.nw) == (p1.n_segments, p1.nw)
+    with pytest.raises(JpegUnsupportedError):
+        segments.build_plan_no_dri(parsed, nw=2)
+
+
 @pytest.mark.parametrize("mode,q", [("4:2:0", 95), ("4:4:4", 60), ("4:1:1", 85)])
 def test_no_dri_device_matches_host_own_encoder(mode, q):
     """q=95 noise produces 0xFF stuffing: exercises destuffed-bit offsets."""
