@@ -234,9 +234,20 @@ def decode_batch_device(
         indices = [i for i, _, _ in items]
         if mesh is not None:
             # Image count must tile the chip grid: replicate the last
-            # image's plan (its outputs are dropped below).
+            # image's plan (its outputs are dropped below).  The padding
+            # is WASTED entropy-stage work -- up to (n_chips-1)/n_chips
+            # of the stage for a 1-image remainder bucket -- so callers
+            # serving wide meshes should size buckets to multiples of
+            # the grid; warn when a bucket wastes more than half.
             n_chips = int(np.prod(list(mesh.shape.values())))
             pad = (-len(items)) % n_chips
+            if pad:
+                (log.warning if pad > len(items) else log.debug)(
+                    "mesh bucket pads %d image(s) to %d chips (%.0f%% of "
+                    "the entropy stage is padding)",
+                    len(items), n_chips * ((len(items) + pad) // n_chips),
+                    100.0 * pad / (len(items) + pad),
+                )
             items = list(items) + [items[-1]] * pad
         parsed0 = items[0][1]
         hdr = parsed0.header
