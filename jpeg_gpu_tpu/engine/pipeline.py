@@ -151,12 +151,9 @@ def fused_rgb_geometry(spec: PipelineSpec):
     sx, sy = 1 << c1[0], 1 << c1[1]
     if sx not in (1, 2, 4) or sy not in (1, 2):
         return None
-    if spec.upsample == "fancy" and (sx, sy) in ((2, 2), (2, 1), (1, 2)):
-        # In-kernel triangle filters: one-lane-shift neighbors cannot
-        # cross horizontal tile seams, so the chroma grid must fit one
-        # tile (hbC <= 256; wider falls back to the unfused pipeline).
-        if -(-spec.width // (8 * sx)) > 256:
-            return None
+    # Fancy's in-kernel triangle filters run at ANY width: past one
+    # 256-lane h-tile the 2 seam columns per tile boundary are repaired
+    # post-kernel with the unfused filters (decode_rgb_soa).
     # The SoA plane shapes are built from the raw sampling factors, so the
     # kernel's layout assumption is luma (sx, sy) and chroma (1, 1) exactly
     # -- decimations alone cannot distinguish e.g. 2x2/2x2/2x2 (all-zero
@@ -202,7 +199,67 @@ def decode_rgb_soa(spec: PipelineSpec, geom, comps_soa, qtables):
         fancy=fancy,
         chroma_true=spec.comp_sizes[1] if fancy else None,
     )
-    return rgb[..., : spec.height, : spec.width, :]
+    rgb = rgb[..., : spec.height, : spec.width, :]
+    if fancy:
+        seam_cols = pixel_fused.fancy_seam_columns(hbc, sx, spec.width)
+        if seam_cols:
+            rgb = _repair_fancy_seams(
+                spec, sx, sy, y_soa, cb, cr, qtables, rgb, seam_cols
+            )
+    return rgb
+
+
+def _repair_fancy_seams(spec, sx, sy, y_soa, cb, cr, qtables, rgb, seam_cols):
+    """Recompute the fused fancy kernel's per-seam wrong columns exactly.
+
+    The kernel's horizontal triangle filter cannot cross 256-lane h-tile
+    seams, so output columns ``seam_cols`` (2 per seam) computed with a
+    locally-replicated edge.  For each seam, decode a 4-chroma-block-wide
+    strip around it through the UNFUSED pipeline (whose filters see the
+    true neighbors; the strip's own replicated edges lie outside the
+    pasted columns' filter support) and paste the exact columns back.
+    Cost: one (H x 64 px) unfused decode per seam -- noise next to the
+    full-frame kernel.
+    """
+    hbc = cb.shape[-1]
+    for t in range(len(seam_cols) // 2):
+        seam = seam_cols[2 * t + 1] // (8 * sx)  # chroma lane 256*(t+1)
+        c_lo = seam - 2
+        c_hi = min(seam + 2, hbc)
+        w_blk = c_hi - c_lo
+        # SoA slices -> the unfused path's (vb, hb, 8, 8) block layout
+        # (the exact inverse of assemble's parity split).
+        ys = y_soa[..., c_lo:c_hi]
+        *lead, _, _, _, vbc, _ = ys.shape
+        nl = len(lead)
+        ys = ys.transpose(
+            tuple(range(nl)) + (nl + 3, nl, nl + 4, nl + 1, nl + 2)
+        )
+        y_blocks = ys.reshape(
+            tuple(lead) + (vbc * sy, w_blk * sx, 8, 8)
+        )
+        chroma_blocks = [
+            c[..., c_lo:c_hi]
+            .transpose(tuple(range(nl)) + (nl + 1, nl + 2, nl))
+            .reshape(tuple(lead) + (vbc, w_blk, 8, 8))
+            for c in (cb, cr)
+        ]
+        base_px = c_lo * 8 * sx
+        strip_w = min(spec.width - base_px, w_blk * 8 * sx)
+        strip_sizes = tuple(
+            (min(cw - (base_px >> xd), (w_blk * 8 * sx) >> xd), ch)
+            for (cw, ch), (xd, _) in zip(spec.comp_sizes, spec.comp_decs)
+        )
+        strip_spec = dataclasses.replace(
+            spec, width=strip_w, comp_sizes=strip_sizes
+        )
+        strip_rgb = decode_rgb.__wrapped__(
+            strip_spec, (y_blocks,) + tuple(chroma_blocks), qtables
+        )
+        cols = seam_cols[2 * t : 2 * t + 2]
+        rel = [c - base_px for c in cols]
+        rgb = rgb.at[..., :, cols, :].set(strip_rgb[..., :, rel, :])
+    return rgb
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -87,16 +87,17 @@ def _idct_block_planes(load, qfn):
     return y
 
 
-def _clamp_chroma_samples(P, band, bi, lb, ue, ve):
+def _clamp_chroma_samples(P, band, bi, lb, ue, ve, glane, last_lane):
     """Edge-replicate SAMPLE planes beyond the true chroma dims in place.
 
     ``P`` maps (u, v) to (band+2, hbc) sample planes (one-block-row halo
     on the sublane axis).  The MCU-padding rows of the partial bottom
     block (global block row ``lb``, sample rows > ``ue``) and the padding
-    columns of every block's last lane (sample cols > ``ve``) are
-    replaced by the true edge samples -- the padded-plane clamp of
-    ops/color.py's *_padded filters, done on the IDCT outputs (clamping
-    coefficients would corrupt the whole block's spectrum).
+    columns of the GLOBALLY last true lane (``glane`` carries each lane's
+    global chroma-block index -- h-tiles see only a slice; sample cols >
+    ``ve``) are replaced by the true edge samples -- the padded-plane
+    clamp of ops/color.py's *_padded filters, done on the IDCT outputs
+    (clamping coefficients would corrupt the whole block's spectrum).
     """
     if ue < 7:
         # Global block row of each tile row (halo offset -1).
@@ -108,22 +109,25 @@ def _clamp_chroma_samples(P, band, bi, lb, ue, ve):
             for v in range(8):
                 P[(u, v)] = jnp.where(rowmask, P[(ue, v)], P[(u, v)])
     if ve < 7:
-        lanes = jax.lax.broadcasted_iota(jnp.int32, P[(0, 0)].shape, 1)
-        lanemask = lanes == (P[(0, 0)].shape[1] - 1)
+        lanemask = glane == last_lane
         for u in range(8):
             for v in range(ve + 1, 8):
                 P[(u, v)] = jnp.where(lanemask, P[(u, ve)], P[(u, v)])
     return P
 
 
-def _fancy_chroma_row(P, R, sx, sy, band, mask_first, mask_last):
+def _fancy_chroma_row(P, R, sx, sy, band, mask_first, mask_last, mask_lastlane):
     """Fancy-upsampled chroma values for output pixel row ``R``.
 
     ``P`` maps (u, v) to (band+2, hbc) sample planes with a one-BLOCK-ROW
     halo on the sublane axis (tile row 0 = previous block row's samples,
     row band+1 = next).  ``mask_first``/``mask_last`` flag the globally
     first/last real block row per (band, hbc) position, where the
-    vertical neighbor replicates the edge instead of reading the halo.
+    vertical neighbor replicates the edge instead of reading the halo;
+    ``mask_lastlane`` flags the GLOBALLY last true chroma block lane,
+    whose right neighbor replicates the edge (with h-tiling, the local
+    last lane may instead be an interior seam -- its locally-replicated
+    value is repaired post-kernel -- or grid padding).
     Returns sx*8 (band, hbc) tiles indexed by output column phase --
     bit-exact ops/color.py triangle-filter arithmetic
     (upsample_fancy_h2/_h2v2).
@@ -158,11 +162,16 @@ def _fancy_chroma_row(P, R, sx, sy, band, mask_first, mask_last):
         ke, ko, sh = 1, 2, 2  # h2 on raw samples
 
     # Horizontal pass: neighbors cross lanes at v=0/7 (adjacent chroma
-    # blocks are adjacent lanes); the concat's kept first/last lane
-    # provides the global edge replication (the last lane's padding
-    # samples were clamped to the true edge).
+    # blocks are adjacent lanes); the concat keeps the tile's first/last
+    # lane in place, which IS the global edge replication for the first/
+    # last tile (seam lanes of interior tiles get the same local
+    # replication and are repaired post-kernel).  The globally last TRUE
+    # lane must replicate its own edge even when grid-padding lanes
+    # follow it in the same tile (their garbage would otherwise feed its
+    # odd output phase when ve == 7).
     left = jnp.concatenate([cs[0][:, :1], cs[7][:, :-1]], axis=1)
     right = jnp.concatenate([cs[0][:, 1:], cs[7][:, -1:]], axis=1)
+    right = jnp.where(mask_lastlane, cs[7], right)
     out = []
     for c in range(8):
         three = 3 * cs[c]
@@ -229,9 +238,10 @@ def _fused_rgb_kernel(
     sx, sy,           # static: luma blocks per chroma block (h, v)
     interleave_store,  # static: raster-major in-kernel store (see above)
     fancy,            # static: None, or the triangle-filter mode's clamp
-    #                   geometry (lb, ue, ve, last_block): partial-bottom-
-    #                   block row, its last true sample row, the last
-    #                   lane's last true sample col, last real block row
+    #                   geometry (lb, ue, ve, last_block, last_lane):
+    #                   partial-bottom-block row, its last true sample
+    #                   row, the last true lane's last true sample col,
+    #                   last real block row, last true chroma lane
     # scalar prefetch (per image -- grid dim 0 routes batches to tables):
     qty_ref,          # (N, 64) int32 luma dequant
     qtc_ref,          # (N, 2, 64) int32 chroma dequant (Cb, Cr rows)
@@ -283,15 +293,30 @@ def _fused_rgb_kernel(
     wpg = 6 * sx  # words per (chroma lane, pixel row): sx*8 px * 3 / 4
 
     if fancy:
-        lb, ue, ve, last_block = fancy
+        lb, ue, ve, last_block, last_lane = fancy
         bi = pl.program_id(1)
-        cb = _clamp_chroma_samples(cb, band, bi, lb, ue, ve)
-        cr = _clamp_chroma_samples(cr, band, bi, lb, ue, ve)
+        hb_tile = cb_ref.shape[-1]
+        # Global chroma-block lane offset of this h-tile (the per-sample
+        # planes only see a hb_tile-wide slice of the lane axis).
+        lane0 = pl.program_id(2) * hb_tile
+        glane_halo = lane0 + jax.lax.broadcasted_iota(
+            jnp.int32, (band + 2, hb_tile), 1
+        )
+        cb = _clamp_chroma_samples(
+            cb, band, bi, lb, ue, ve, glane_halo, last_lane
+        )
+        cr = _clamp_chroma_samples(
+            cr, band, bi, lb, ue, ve, glane_halo, last_lane
+        )
         rows2d = bi * band + jax.lax.broadcasted_iota(
-            jnp.int32, (band, cb_ref.shape[-1]), 0
+            jnp.int32, (band, hb_tile), 0
         )
         mask_first = rows2d == 0
         mask_last = rows2d == last_block
+        mask_lastlane = (
+            lane0
+            + jax.lax.broadcasted_iota(jnp.int32, (band, hb_tile), 1)
+        ) == last_lane
 
     for pr in range(sy):
         if fancy:
@@ -301,10 +326,12 @@ def _fused_rgb_kernel(
             for u in range(8):
                 row = 8 * pr + u
                 cbrow = _fancy_chroma_row(
-                    cb, row, sx, sy, band, mask_first, mask_last
+                    cb, row, sx, sy, band, mask_first, mask_last,
+                    mask_lastlane,
                 )
                 crrow = _fancy_chroma_row(
-                    cr, row, sx, sy, band, mask_first, mask_last
+                    cr, row, sx, sy, band, mask_first, mask_last,
+                    mask_lastlane,
                 )
                 for oc in range(sx * 8):
                     cbi = cbrow[oc] - 128
@@ -397,8 +424,13 @@ def decode_rgb_fused_soa(
 
     ``fancy=True`` runs the bit-exact libjpeg triangle-filter chroma
     upsampling inside the kernel (chroma arrives with a one-block-row
-    band halo; horizontal neighbors are one-lane shifts).  Requires the
-    image to fit one horizontal tile (hbC <= 256) and ``chroma_true``.
+    band halo; horizontal neighbors are one-lane shifts).  Requires
+    ``chroma_true``.  Wider than one horizontal tile (hbC > 256), the
+    sx == 2 modes leave exactly 2 WRONG output columns per tile seam
+    (locally-replicated filter edges) -- callers must repair them
+    (fancy_seam_columns() names them; engine/pipeline.py recomputes
+    them with the unfused filters on a narrow strip).  sx == 1 (4:4:0)
+    has no horizontal filter and needs no repair.
 
     ``interleave_store`` (default on) emits each output pixel row in
     raster word order inside the kernel via static lane shuffles, so the
@@ -433,8 +465,13 @@ def decode_rgb_fused_soa(
     # selection, packing is per-word; fancy's one-lane shifts stay inside
     # a tile), so wide images tile along the chroma-block axis too --
     # otherwise the ~330 live (band, hbC) tiles exceed the 16 MB VMEM
-    # scoped limit past hbC ~ 256 (observed at 8K).
-    hb_tile = hbc if hbc <= 256 else 256
+    # scoped limit past hbC ~ 256 (observed at 8K).  Fancy keeps MORE
+    # tiles live (sample planes + per-phase color terms): a 256-lane
+    # fancy tile measured 18.3M scoped vmem (OOM), so tiled fancy uses
+    # 128-lane tiles (single-tile fancy is proven to hbC=240, the 4K
+    # 4:2:2 bench shape).
+    hbc_true = hbc
+    hb_tile = hbc if hbc <= 256 else (FANCY_HB_TILE if fancy else 256)
     hpad = (-hbc) % hb_tile
     if hpad:
         y = jnp.pad(y, ((0, 0),) * 5 + ((0, hpad),))
@@ -446,16 +483,18 @@ def decode_rgb_fused_soa(
     nbands = vbc // band
     nhtiles = hbc // hb_tile
     if fancy:
-        # Lane-shift neighbors cannot cross horizontal tile seams; callers
-        # route wider images to the unfused fancy pipeline.
-        assert nhtiles == 1, (hbc, "fancy fused path needs one h-tile")
+        # Lane-shift neighbors cannot cross horizontal tile seams: with
+        # h-tiling (hbC > 256) the 2 output columns at each seam compute
+        # with locally-replicated edges and MUST be repaired by the
+        # caller (engine/pipeline.py fixes them with the unfused filters
+        # on a narrow strip -- fancy_seam_columns() names them).
         assert chroma_true is not None
         cw, ch = chroma_true
         # Clamp geometry for the kernel's in-kernel sample-edge masks
         # (band-pad blocks only ever feed cropped output rows).
         lb, ue = divmod(ch - 1, 8)
         ve = (cw - 1) % 8
-        fancy_meta = (lb, ue, ve, vbc - pad - 1)
+        fancy_meta = (lb, ue, ve, vbc - pad - 1, hbc_true - 1)
         cb = _band_halo(cb, band, nbands)
         cr = _band_halo(cr, band, nbands)
         chroma_spec = pl.BlockSpec(
@@ -518,6 +557,33 @@ def decode_rgb_fused_soa(
         words = packed.transpose(0, 1, 2, 3, 5, 4).reshape(n, h, w * 3 // 4)
     rgb = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(n, h, w, 3)
     return rgb.reshape(*lead, h, w, 3) if lead else rgb[0]
+
+
+# Tiled-fancy h-tile width (see decode_rgb_fused_soa's vmem note).
+FANCY_HB_TILE = 128
+
+
+def fancy_seam_columns(hbc: int, sx: int, width: int) -> "list[int]":
+    """Output pixel columns the fused fancy kernel computes WRONG when the
+    chroma grid spans multiple h-tiles (sx == 2 only).
+
+    At each seam t (chroma lane FANCY_HB_TILE*t), the horizontal triangle
+    filter's cross-lane neighbor is replaced by a local edge replicate on
+    both sides, corrupting the odd output phase of the seam's left
+    neighbor sample and the even phase of its first sample: 2 output
+    columns per seam.  Everything else is exact (the vertical pass never
+    crosses lanes; the globally-last-lane mask handles the true right
+    edge).
+    """
+    if sx != 2 or hbc <= 256:
+        return []
+    cols = []
+    for t in range(1, -(-hbc // FANCY_HB_TILE)):
+        seam_px = sx * 8 * FANCY_HB_TILE * t
+        for c in (seam_px - 1, seam_px):
+            if 0 <= c < width:
+                cols.append(c)
+    return cols
 
 
 def blocks_to_soa_split(coefs: jax.Array, sx: int, sy: int) -> jax.Array:

@@ -74,6 +74,8 @@ def main() -> int:
         (40, 1200, 75, "4:4:4", 0, "nearest", True),  # hbC=150 + DRI-less dev
         (48, 4200, 85, "4:2:0", 1, "nearest", True),  # hbC=263: three chunks
         (64, 40, 85, "h2v4", 1, "nearest", False),    # vsamp=4 general path
+        (48, 4200, 85, "4:2:0", 1, "fancy", True),    # hbC=263 fancy: 2 h-tiles
+        #                               + the post-kernel seam repair, vs PIL
     ]
     records = []
     fails = 0

@@ -45,3 +45,32 @@ def test_fused_kernel_interpret_fancy_422():
     )
     got = np.asarray(rgb)[: hdr.height, : hdr.width]
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_kernel_interpret_fancy_wide_seam_repair():
+    """Fancy wider than one 256-lane h-tile (round 3): the kernel runs
+    per tile with locally-replicated seam edges and decode_rgb_soa's
+    strip repair recomputes the 2 wrong columns per seam -- the whole
+    frame must equal the unfused reference bit-exactly, including the
+    seam columns and the true right edge living amid grid padding."""
+    img = corpus.synthetic_rgb(10, 4130, seed=6)
+    enc = corpus.pil_jpeg(img, quality=85, subsampling="4:2:2")
+    parsed = parse(enc)
+    hdr = parsed.header
+    res = decode_scan(parsed)
+    spec = pipeline.PipelineSpec.from_header(hdr, exact=True, upsample="fancy")
+    coefs = tuple(jnp.asarray(c) for c in res.coefs)
+    qts = tuple(
+        jnp.asarray(hdr.quant_for(c).values.astype(np.int32))
+        for c in hdr.components
+    )
+    ref = np.asarray(pipeline.decode_rgb(spec, coefs, qts))
+    comps = (
+        blocks_to_soa_split(coefs[0], 2, 1),
+        blocks_to_soa(coefs[1])[None, None],
+        blocks_to_soa(coefs[2])[None, None],
+    )
+    got = np.asarray(
+        pipeline.decode_rgb_soa.__wrapped__(spec, (2, 1), comps, qts)
+    )
+    np.testing.assert_array_equal(got, ref)
