@@ -187,7 +187,7 @@ def main() -> None:
     from jpeg_gpu_tpu.host import segments as seg_mod
     from jpeg_gpu_tpu.ops import entropy_device as edev
 
-    def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2):
+    def full_decode_mpix_s(h, w, subsampling, nbatch, k1, k2, upsample="nearest"):
         # One-MCU restart intervals: segment order IS MCU order, so the
         # coefficient assembly needs no lane relayout (the R=1 fast path
         # in assemble_components) -- measured 23% faster than R=2 for the
@@ -202,7 +202,9 @@ def main() -> None:
             )
         par = parse(dat)
         hd = par.header
-        sp = pipeline.PipelineSpec.from_header(hd, exact=True)
+        sp = pipeline.PipelineSpec.from_header(
+            hd, exact=True, upsample=upsample
+        )
         pl = seg_mod.build_plan(par)
         s1 = np.asarray(pl.streams)
         st = jnp.asarray(
@@ -403,6 +405,14 @@ def main() -> None:
         _stage("extended: 8K full on-device")
         extended["full_8k420_device_decode_mpix_per_s"] = round(
             full_decode_mpix_s(4320, 7680, "4:2:0", 1, 3, 9), 1
+        )
+        # The same frame through the bit-exact fancy path -- h-tiled
+        # in-kernel triangle filters + seam repair (round 3; the unfused
+        # route measured 2265 Mpix/s at this shape, WIDEFANCY_r03.json).
+        _stage("extended: 8K full on-device, fancy")
+        extended["full_8k420_fancy_device_decode_mpix_per_s"] = round(
+            full_decode_mpix_s(4320, 7680, "4:2:0", 1, 3, 9, upsample="fancy"),
+            1,
         )
         # BASELINE config #4's single-chip half: a batched corpus of
         # distinct images (per-image optimized Huffman tables exercise
