@@ -57,7 +57,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 2026
     out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
-        repo, "SWEEP_r03.json"
+        repo, "SWEEP_r05.json"
     )
     rng = np.random.default_rng(seed)
     modes = ["4:4:4", "4:2:2", "4:2:0", "4:4:0", "4:1:1"]
@@ -76,6 +76,8 @@ def main() -> int:
         (64, 40, 85, "h2v4", 1, "nearest", False),    # vsamp=4 general path
         (48, 4200, 85, "4:2:0", 1, "fancy", True),    # hbC=263 fancy: 2 h-tiles
         #                               + the post-kernel seam repair, vs PIL
+        (40, 72, 85, "4:1:1", 1, "fancy", False),     # 4:1:1 fancy vs libjpeg
+        #                     (h4v1 -> replication on both sides), compiled
     ]
     records = []
     fails = 0
@@ -124,9 +126,11 @@ def main() -> int:
             host = jt.decode(data, impl="host", upsample=ups)
             checks["tpu_eq_host"] = bool(np.array_equal(tpu, host))
             # libjpeg parity: always for gray/4:4:4; for subsampled modes
-            # the fancy path is the bit-exact contract (4:1:1 fancy is
-            # nearest-replication by definition on both sides).
-            if mode in ("gray", "4:4:4") or (fancy and mode != "4:1:1"):
+            # the fancy path is the bit-exact contract.  4:1:1 included:
+            # libjpeg's jdmaster only has fancy kernels for h2v1/h2v2 and
+            # falls back to int_upsample (replication) for h4v1, which is
+            # exactly what our fancy path does there too.
+            if mode in ("gray", "4:4:4") or fancy:
                 checks["tpu_eq_libjpeg"] = bool(
                     np.array_equal(tpu, jt.decode(data, impl="pil"))
                 )

@@ -221,6 +221,7 @@ def test_assemble_soa_r1_fast_path(geom, nvmb, nhmb, b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
 
 
+@pytest.mark.slow  # ~3 min: interpret-mode trace of the chunked unroll
 @pytest.mark.parametrize("form", ["packed", "rows"])
 def test_unrolled_chunked_accumulate_forms_bit_identical(form, monkeypatch):
     """The UNROLLED AC loop (the compiled TPU path's run_iters structure,

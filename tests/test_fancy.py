@@ -23,10 +23,15 @@ def test_fancy_rgb_bit_exact_vs_pil(subsampling, impl):
 
 
 @pytest.mark.parametrize("mode", ["4:4:0", "4:1:1"])
-def test_fancy_rgb_bit_exact_own_encoder(mode):
+@pytest.mark.parametrize("impl", ["host", "tpu"])
+def test_fancy_rgb_bit_exact_own_encoder(mode, impl):
+    """Direct libjpeg-oracle coverage of the 4:4:0 (h1v2) and 4:1:1
+    (h4v1) fancy paths on BOTH impls: libjpeg has no fancy kernel for
+    these ratios (jdmaster falls back to h1v2-fancy resp. replication),
+    and so must we, bit for bit."""
     img = corpus.synthetic_rgb(40, 72, seed=6)
     enc = corpus.own_jpeg(img, subsampling=mode, quality=85)
-    got = decode(enc.data, out="rgb", impl="host", upsample="fancy")
+    got = decode(enc.data, out="rgb", impl=impl, upsample="fancy")
     golden = oracle.pil_decode_rgb(enc.data)
     np.testing.assert_array_equal(got, golden)
 

@@ -11,6 +11,7 @@ word packing; the full mode matrix runs on real hardware via
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from jpeg_gpu_tpu.engine import pipeline
 from jpeg_gpu_tpu.host.entropy import decode_scan
@@ -23,6 +24,7 @@ from jpeg_gpu_tpu.ops.pixel_fused import (
 from jpeg_gpu_tpu.testing import corpus
 
 
+@pytest.mark.slow  # ~1.5 min: interpret-mode fused pixel kernel body
 def test_fused_kernel_interpret_fancy_422():
     img = corpus.synthetic_rgb(18, 22, seed=4)
     enc = corpus.own_jpeg(img, subsampling="4:2:2", quality=85)
@@ -47,6 +49,7 @@ def test_fused_kernel_interpret_fancy_422():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow  # ~1 min: two h-tiles through the interpret kernel
 def test_fused_kernel_interpret_fancy_wide_seam_repair():
     """Fancy wider than one 256-lane h-tile (round 3): the kernel runs
     per tile with locally-replicated seam edges and decode_rgb_soa's
