@@ -459,6 +459,147 @@ def build_plan_auto(
 
 
 @dataclasses.dataclass
+class SpecScanInput:
+    """Host-side input for the DEVICE parallel index scan of a DRI-less
+    stream (ops/specsync_device.py) plus everything the downstream
+    restart decode consumes.
+
+    The host does NO Huffman work here: destuff (one vectorised numpy
+    pass), one strided window copy, and the usual table tensors.  The
+    windows tensor is the only per-frame upload (~1.05x the stream).
+    """
+
+    windows: np.ndarray        # (BS, NWS, 8, 128) int32 per-lane word rows
+    n_bits: int                # real destuffed stream bits
+    subseq_bytes: int          # SB: window stride (bytes)
+    spw: int                   # SB // 4: non-overlap words per row
+    nws: int                   # spw + 3: words per row (overlap for peek)
+    maxrec: int                # record rows per lane (overflow -> fallback)
+    nw: int                    # words per pseudo-segment row (restart decode)
+    used_slots: Tuple[int, ...]
+    bpm: int
+    n_mcus: int
+    t_last: Tuple[int, ...]    # last block step of each scan component
+    # Restart-decoder tables (R=1 pseudo segments), as in DeviceScanPlan:
+    comp_of_step: np.ndarray
+    dc_slot_of_step: np.ndarray
+    ac_slot_of_step: np.ndarray
+    seg_meta: np.ndarray
+    cbase: np.ndarray
+    counts: np.ndarray
+    symbols: np.ndarray
+    dcslot_of_c: np.ndarray    # (bpm,) int32: scan-kernel per-phase slots
+    acslot_of_c: np.ndarray    # (bpm,) int32
+
+
+def build_spec_scan_input(
+    parsed: ParsedJpeg,
+    subseq_bytes: Optional[int] = None,
+    nw: Optional[int] = None,
+    sb_target: int = 512,
+    max_words: int = 1024,
+) -> SpecScanInput:
+    """Pack a DRI-less stream for the device parallel index scan.
+
+    ``subseq_bytes`` pins the window stride (serving-loop shape
+    stability); by default it adapts so the subsequences fill whole
+    1024-lane batches (minimal padding upload) at roughly ``sb_target``
+    bytes each.  ``nw`` pins the restart rows' word width exactly like
+    build_plan_no_dri's pin; unpinned, a 2.5x-average heuristic is used
+    and the device flags streams whose max segment exceeds it (the
+    caller then falls back to the serial scan path).
+    """
+    from jpeg_gpu_tpu.host.specsync import destuff
+
+    header = parsed.header
+    scan = header.scan
+    assert scan is not None
+    if header.restart_interval or len(parsed.segments) != 1:
+        raise ValueError("build_spec_scan_input is for single-segment streams")
+    data = destuff(parsed)
+    n_bytes = int(data.size)
+    n_bits = n_bytes * 8
+    n_mcus = header.n_mcus
+    if n_bits >= 2**30:
+        raise JpegUnsupportedError(
+            "stream too large for int32 device bit offsets"
+        )
+    avg_bits = max(n_bits / max(n_mcus, 1), 16.0)
+    if subseq_bytes is None:
+        # Two constraints: (a) fill whole 1024-lane batches (padding lanes
+        # are pure upload waste), (b) stay comfortably above the measured
+        # self-sync distance per round -- rounds ~ sync_distance / SB, and
+        # SPECSYNC_r03 puts sync at roughly 25-30 MCUs, so SB >= 2 average
+        # MCUs keeps convergence well inside max_rounds with the serial
+        # fallback as the safety net.
+        bs = max(1, round(n_bytes / (SEGMENTS_PER_BATCH * sb_target)))
+        sb_fill = -(-n_bytes // (bs * SEGMENTS_PER_BATCH))
+        sb_density = int(2 * avg_bits / 8)
+        sb = max(64, sb_fill, sb_density)
+        sb = -(-sb // 4) * 4
+    else:
+        sb = subseq_bytes
+        if sb % 4 or sb < 8:
+            raise ValueError("subseq_bytes must be a multiple of 4, >= 8")
+    spw = sb // 4
+    nws = spw + 3
+    s_real = max(1, -(-n_bytes // sb))
+    bs = -(-s_real // SEGMENTS_PER_BATCH)
+    maxrec = int(min(40, max(8, (4 * sb * 8) // int(avg_bits) + 2)))
+    if nw is None:
+        nw = _check_nw(int(avg_bits * 2.5 / 8) + 1, max_words)
+    # Flat destuffed words, 0xFF-padded so every lane's window row and the
+    # restart rows' word overshoot read 1-bits (the bit reader contract).
+    total_words = bs * SEGMENTS_PER_BATCH * spw + nws
+    flat = np.full(total_words * 4, 0xFF, dtype=np.uint8)
+    flat[:n_bytes] = data
+    words = flat.view(">u4")
+    win = np.lib.stride_tricks.sliding_window_view(words, nws)[::spw]
+    win = win[: bs * SEGMENTS_PER_BATCH]
+    windows = (
+        win.reshape(bs, SEGMENTS_PER_BATCH, nws)
+        .transpose(0, 2, 1)
+        .astype(np.uint32)
+        .view(np.int32)
+        .reshape(bs, nws, SUBLANES, LANES)
+    )
+
+    comp_steps, dc_steps, ac_steps, bpm = _step_maps(header, scan, 1)
+    cbase, counts, symbols = _table_tensors(header)
+    used = tuple(sorted(set(dc_steps) | set(ac_steps)))
+    ncomp = len(scan.comp_idx)
+    t_last = tuple(
+        max(i for i, c in enumerate(comp_steps) if c == ci)
+        for ci in range(ncomp)
+    )
+    # Per-phase slot maps for the scan kernel (phase c of the MCU).
+    per_mcu_dc = dc_steps[:bpm]
+    per_mcu_ac = ac_steps[:bpm]
+    return SpecScanInput(
+        windows=windows,
+        n_bits=n_bits,
+        subseq_bytes=sb,
+        spw=spw,
+        nws=nws,
+        maxrec=maxrec,
+        nw=nw,
+        used_slots=used,
+        bpm=bpm,
+        n_mcus=n_mcus,
+        t_last=t_last,
+        comp_of_step=np.asarray(comp_steps, dtype=np.int32),
+        dc_slot_of_step=np.asarray(dc_steps, dtype=np.int32),
+        ac_slot_of_step=np.asarray(ac_steps, dtype=np.int32),
+        seg_meta=_last_segment_meta(n_mcus, 1, n_mcus, bpm),
+        cbase=cbase,
+        counts=counts,
+        symbols=symbols,
+        dcslot_of_c=np.asarray(per_mcu_dc, dtype=np.int32),
+        acslot_of_c=np.asarray(per_mcu_ac, dtype=np.int32),
+    )
+
+
+@dataclasses.dataclass
 class CorpusScanPlan:
     """Device-decoder input for a bucket of same-geometry images.
 
