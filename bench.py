@@ -549,7 +549,10 @@ def main() -> None:
         # 1-core container the host side is the bound; real serving
         # hosts scale it across cores.
         _stage("extended: 64-image corpus via decode_batch_device")
-        from jpeg_gpu_tpu.engine.batch import decode_batch_device
+        from jpeg_gpu_tpu.engine.batch import (
+            decode_batch_device,
+            decode_batch_device_resident,
+        )
 
         corpus_datas = [
             corpus.pil_jpeg(
@@ -568,8 +571,33 @@ def main() -> None:
             outs = decode_batch_device(corpus_datas)
             t_best = min(t_best, time.perf_counter() - t0)
         assert len(outs) == 64 and outs[0].shape == (256, 256, 3)
+        # With-download: bounded by the container tunnel's ~17-60 MB/s
+        # pixel readback (12.6 MB/bucket), not by the software -- the
+        # device-resident number below is the serving metric.
         extended["corpus_e2e_1core_host_bound_mpix_per_s"] = round(
             64 * 256 * 256 / 1e6 / t_best, 1
+        )
+        # Device-resident serving: pixels stay in HBM for downstream TPU
+        # consumers (the reference's render loop never reads pixels back
+        # either).  Sustained over 8 repeated buckets -- host parse/plan
+        # of bucket N+1 overlaps device decode of bucket N via async
+        # dispatch; per-image error flags checked once at the end.
+        _stage("extended: corpus device-resident sustained")
+        n_reps = 8
+        t_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rep_outs = [
+                decode_batch_device_resident(corpus_datas, check_errors=False)
+                for _ in range(n_reps)
+            ]
+            jax.block_until_ready([o[0] for o in rep_outs])
+            t_best = min(t_best, time.perf_counter() - t0)
+        assert not any(
+            np.asarray(e).any() for _, e in rep_outs
+        ), "corpus decode flagged errors"
+        extended["corpus_device_resident_mpix_per_s"] = round(
+            n_reps * 64 * 256 * 256 / 1e6 / t_best, 1
         )
     _stage("done")
 

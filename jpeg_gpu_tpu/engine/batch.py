@@ -152,11 +152,26 @@ def _decode_bucket_device(
 ):
     """One device program per bucket: entropy kernel -> vmapped assembly
     -> pixel pipeline, with no host round-trips or inter-program HBM
-    materialisation between stages."""
+    materialisation between stages.
+
+    ``streams`` may arrive sublane-TRIMMED: segment counts far below 1024
+    leave most of each (8, 128) batch as 0xFF padding rows, so the host
+    uploads only the used sublanes and the program pads them back (a 256-
+    segment 256x256 bucket uploads 4x less through the host->device
+    tunnel, the corpus path's measured bottleneck).  Returns per-IMAGE
+    error flags (max over the image's real segments), reduced on device
+    so the host fetches NI ints instead of NI*1024 lane flags.
+    """
     from jpeg_gpu_tpu.engine.pipeline import decode_rgb_soa
     from jpeg_gpu_tpu.ops import entropy_device
 
     ni, b1, n_segments, mps, n_mcus, nhmb, nvmb, geom, frame_order = meta
+    if streams.shape[2] < 8:
+        streams = jnp.pad(
+            streams,
+            ((0, 0), (0, 0), (0, 8 - streams.shape[2]), (0, 0)),
+            constant_values=-1,
+        )
     out, err = entropy_device.decode_segments_device_multi(
         streams, *tables, interpret=interpret
     )
@@ -175,7 +190,8 @@ def _decode_bucket_device(
         rgb = decode_rgb_soa.__wrapped__(spec, fgeom, comps, qtables)
     else:
         rgb = decode_rgb.__wrapped__(spec, comps, qtables)
-    return rgb, err
+    err_img = err.reshape(ni, -1)[:, :n_segments].max(axis=1)
+    return rgb, err_img
 
 
 def decode_batch_device(
@@ -329,24 +345,32 @@ def decode_batch_device(
                 qts,
             )
             rgb = np.asarray(rgb)[:, : spec.height, : spec.width]
+            if check_errors and on_error == "raise":
+                flags = np.asarray(err).reshape(ni, -1)[
+                    :, : corpus_plan.n_segments
+                ]
+                if flags.any():
+                    bad_img, bad_seg = map(int, np.argwhere(flags)[0])
+                    raise JpegFormatError(
+                        f"device entropy decode failed: image "
+                        f"{indices[bad_img]} restart segment {bad_seg}"
+                    )
         else:
-            rgb, err = _decode_bucket_device(
+            rgb, err_img = _decode_bucket_device(
                 spec, fgeom, meta, interpret, on_error == "zero",
-                jnp.asarray(corpus_plan.streams),
+                jnp.asarray(_trim_streams(corpus_plan)),
                 tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
                 qts,
             )
             rgb = np.asarray(rgb)
-        if check_errors and on_error == "raise":
-            flags = np.asarray(err).reshape(ni, -1)[
-                :, : corpus_plan.n_segments
-            ]
-            if flags.any():
-                bad_img, bad_seg = map(int, np.argwhere(flags)[0])
-                raise JpegFormatError(
-                    f"device entropy decode failed: image {indices[bad_img]}"
-                    f" restart segment {bad_seg}"
-                )
+            if check_errors and on_error == "raise":
+                flags = np.asarray(err_img)
+                if flags.any():
+                    bad_img = int(np.flatnonzero(flags)[0])
+                    raise JpegFormatError(
+                        f"device entropy decode failed: image "
+                        f"{indices[bad_img]} (flags={int(flags[bad_img])})"
+                    )
         for j, i in enumerate(indices):
             out[i] = rgb[j]
 
@@ -357,3 +381,114 @@ def decode_batch_device(
         for j, i in enumerate(fallback):
             out[i] = host[j]
     return out  # type: ignore[return-value]
+
+
+def _trim_streams(corpus_plan) -> np.ndarray:
+    """Sublane-trimmed upload view of a corpus plan's streams.
+
+    With one segment batch per image, only the first ceil(nseg/128)
+    sublanes of each (8, 128) batch carry data; the rest are 0xFF padding
+    rows the device program re-pads itself (_decode_bucket_device).  The
+    256-segment bench bucket uploads 4x fewer bytes through the tunnel,
+    the corpus path's measured bottleneck (scripts/profile_corpus.py).
+    """
+    if corpus_plan.batches_per_image != 1:
+        return corpus_plan.streams  # partial fill only in the last batch
+    su = -(-corpus_plan.n_segments // 128)
+    if su >= 8:
+        return corpus_plan.streams
+    return np.ascontiguousarray(corpus_plan.streams[:, :, :su])
+
+
+def decode_batch_device_resident(
+    datas: Sequence[bytes],
+    exact: bool = True,
+    upsample: str = "nearest",
+    check_errors: bool = True,
+    on_error: str = "raise",
+):
+    """Fully on-device corpus decode with DEVICE-RESIDENT output.
+
+    The serving surface for downstream TPU consumers (vision models,
+    on-device preprocessing): pixels never cross the host link, exactly
+    as the reference's render loop keeps frames on the GPU from decode
+    to display (jpeg_gpu.c:1228-1461 never reads pixels back).  On this
+    container the host<->device tunnel moves ~17-60 MB/s, so the pixel
+    download alone costs ~5x the whole decode (scripts/profile_corpus.py)
+    -- any corpus pipeline that can consume on device should.
+
+    All images must share one geometry/table bucket (the realistic
+    serving-bucket shape; decode_batch_device handles mixed corpora).
+    Returns (rgb, err_img): rgb (N, H, W, 3) uint8 ON DEVICE (cropped),
+    err_img (N,) int32 per-image flags ON DEVICE (0 = clean).
+    """
+    from jpeg_gpu_tpu.errors import JpegFormatError
+    from jpeg_gpu_tpu.host.segments import (
+        build_corpus_plan,
+        build_plan,
+        plan_bucket_key,
+    )
+
+    parsed = [parse(d) for d in datas]
+    plans = [build_plan(p) for p in parsed]
+    key0 = plan_bucket_key(plans[0])
+    if any(plan_bucket_key(p) != key0 for p in plans[1:]):
+        raise ValueError(
+            "decode_batch_device_resident needs one geometry bucket; "
+            "use decode_batch_device for mixed corpora"
+        )
+    hdr = parsed[0].header
+    spec = PipelineSpec.from_header(hdr, exact=exact, upsample=upsample)
+    corpus_plan = build_corpus_plan(plans)
+    geom = tuple(
+        (hdr.components[ci].hsamp, hdr.components[ci].vsamp)
+        for ci in hdr.scan.comp_idx
+    )
+    qtables = jnp.asarray(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        p.header.quant_for(c).values.astype(np.int32)
+                        for c in p.header.components
+                    ]
+                )
+                for p in parsed
+            ]
+        )
+    )
+    from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
+
+    fgeom = fused_rgb_geometry(spec)
+    if fgeom is not None:
+        qts = tuple(qtables[:, ci] for ci in range(spec.ncomps))
+    else:
+        qts = tuple(
+            qtables[:, ci, None, None, :, :] for ci in range(spec.ncomps)
+        )
+    meta = (
+        corpus_plan.n_images, corpus_plan.batches_per_image,
+        corpus_plan.n_segments, corpus_plan.mcus_per_segment,
+        corpus_plan.n_mcus, hdr.nhmb, hdr.nvmb, geom, hdr.scan.comp_idx,
+    )
+    rgb, err_img = _decode_bucket_device(
+        spec, fgeom, meta, None, on_error == "zero",
+        jnp.asarray(_trim_streams(corpus_plan)),
+        tuple(jnp.asarray(x) for x in corpus_plan.kernel_tables),
+        qts,
+    )
+    rgb = _crop_device(rgb, spec.height, spec.width)
+    if check_errors and on_error == "raise":
+        flags = np.asarray(err_img)
+        if flags.any():
+            bad = int(np.flatnonzero(flags)[0])
+            raise JpegFormatError(
+                f"device entropy decode failed: image {bad} "
+                f"(flags={int(flags[bad])})"
+            )
+    return rgb, err_img
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _crop_device(rgb, h, w):
+    return rgb[:, :h, :w]

@@ -220,7 +220,9 @@ def _table_tensors(header):
         symbols[slot] = s_
     for a in (cbase, counts, symbols):
         a.setflags(write=False)
-    if len(_TABLE_MEMO) >= 64:
+    # Capacity above the bench/serving bucket size (64 images with
+    # per-image optimized tables would otherwise thrash the memo clear).
+    if len(_TABLE_MEMO) >= 512:
         _TABLE_MEMO.clear()
     _TABLE_MEMO[key] = (cbase, counts, symbols)
     return cbase, counts, symbols
