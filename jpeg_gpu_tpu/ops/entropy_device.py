@@ -81,6 +81,16 @@ _ABLATE = frozenset(
 # Bit-identical outputs either way; read once at trace time.
 _FETCH_FORM = os.environ.get("JPEG_TPU_ENTROPY_FETCH", "tree")
 
+# Two-symbol fused step (round-5 experiment): decode TWO AC symbols per
+# unrolled step and merge their accumulates into ONE row sweep, so each
+# rows[] register is rewritten once per pair (shorter register dependency
+# chains) and the pair's two gathers overlap in flight.  The refill
+# cannot pair (a 64-bit window tops up at most one word per symbol), so
+# the decode chain itself is unchanged -- this probes whether the merged
+# bookkeeping/accumulate wins anything beyond what interleave=4 already
+# hides.  Bit-identical outputs (asserted by the probe harness).
+_PAIR_FORM = os.environ.get("JPEG_TPU_ENTROPY_PAIR") == "1"
+
 # Accumulate form for the unrolled AC loop: "packed" (two 16-bit
 # coefficient rows per int32 register, OR-combined) or "rows" (one int32
 # register per row, add-combined -- the round-2 form).
@@ -400,6 +410,29 @@ def _decode_tile(
 
         def run_iters(lo_i, hi_i, carry, rows):
             rows = list(rows)
+            if _PAIR_FORM and packed and "noacc" not in _ABLATE:
+                i = lo_i
+                while i < hi_i:
+                    carry, newk1, val1 = ac_decode(carry)
+                    if i + 1 < hi_i:
+                        carry, newk2, val2 = ac_decode(carry)
+                    else:
+                        newk2, val2 = None, None
+                    j1 = _lsr(newk1, 1)
+                    p1 = jnp.left_shift(val1 & 0xFFFF, (newk1 & 1) * 16)
+                    if newk2 is not None:
+                        j2t = _lsr(newk2, 1)
+                        p2 = jnp.left_shift(val2 & 0xFFFF, (newk2 & 1) * 16)
+                    # Both symbols' write rows are >= (i+1)//2 (positions
+                    # strictly increase), so one merged sweep covers the
+                    # pair; each rows[] register is written once.
+                    for j2 in range((i + 1) // 2, 32):
+                        upd = jnp.where(j1 == j2, p1, 0)
+                        if newk2 is not None:
+                            upd = upd | jnp.where(j2t == j2, p2, 0)
+                        rows[j2] = rows[j2] | upd
+                    i += 2
+                return carry, tuple(rows)
             for i in range(lo_i, hi_i):
                 carry, newk, valw = ac_decode(carry)
                 if "noacc" in _ABLATE:
