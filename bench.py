@@ -53,6 +53,32 @@ def main() -> None:
     except Exception:
         pass  # older jax without the cache config: just compile
 
+    # The corpus device-resident serving metric runs FIRST, in a fresh
+    # subprocess, BEFORE this process touches the device at all: (a) in
+    # this container, executing any large-working-set program or taking
+    # one ~12 MB fetch permanently degrades later dispatch/transfer-heavy
+    # loops in the same process ~2-4x (CLAUDE.md), and (b) two live
+    # device sessions contend badly, so the child must own the chip solo.
+    corpus_resident = {}
+    if os.environ.get("JPEG_TPU_BENCH_FULL"):
+        import subprocess
+
+        _stage("corpus device-resident sustained (fresh subprocess)")
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "bench_corpus_resident.py",
+                ),
+            ],
+            stdout=subprocess.PIPE,
+            timeout=1200,
+        )
+        corpus_resident = json.loads(
+            proc.stdout.decode().strip().splitlines()[-1]
+        )
+
     from jpeg_gpu_tpu.engine import pipeline
     from jpeg_gpu_tpu.host.entropy import decode_scan
     from jpeg_gpu_tpu.host.parser import parse
@@ -523,6 +549,45 @@ def main() -> None:
     # headline JSON line must stay affordable for per-round driver runs.
     extended = {}
     if os.environ.get("JPEG_TPU_BENCH_FULL"):
+        _stage("extended: 64-image corpus via decode_batch_device")
+        from jpeg_gpu_tpu.engine.batch import (
+            decode_batch_device,
+            decode_batch_device_resident,
+        )
+
+        corpus_datas = [
+            corpus.pil_jpeg(
+                corpus.synthetic_rgb(256, 256, seed=100 + i),
+                quality=85,
+                subsampling="4:2:0",
+                optimize=True,
+                restart_marker_blocks=1,
+            )
+            for i in range(64)
+        ]
+        # (The device-resident serving metric was measured at the very
+        # top of main() in a fresh subprocess, before this process
+        # touched the device -- see corpus_resident.)
+        extended.update(corpus_resident)
+        _stage("extended: corpus with-download (tunnel floor)")
+        outs = decode_batch_device(corpus_datas)  # warm/compile
+        t_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = decode_batch_device(corpus_datas)
+            t_best = min(t_best, time.perf_counter() - t0)
+        assert len(outs) == 64 and outs[0].shape == (256, 256, 3)
+        # With-download: bounded by the container tunnel's ~17-60 MB/s
+        # pixel readback (12.6 MB/bucket), not by the software -- the
+        # device-resident number below is the serving metric.
+        extended["corpus_e2e_1core_host_bound_mpix_per_s"] = round(
+            64 * 256 * 256 / 1e6 / t_best, 1
+        )
+        # Device-resident serving: pixels stay in HBM for downstream TPU
+        # consumers (the reference's render loop never reads pixels back
+        # either).  Sustained over 8 repeated buckets -- host parse/plan
+        # of bucket N+1 overlaps device decode of bucket N via async
+        # dispatch; per-image error flags checked once at the end.
         # BASELINE config #1: 512x512 grayscale, bit-exact path.
         _stage("extended: 512 grayscale full on-device")
         extended["full_512gray_device_decode_mpix_per_s"] = round(
@@ -548,57 +613,6 @@ def main() -> None:
         # End-to-end wall time INCLUDING host parse/pack -- on this
         # 1-core container the host side is the bound; real serving
         # hosts scale it across cores.
-        _stage("extended: 64-image corpus via decode_batch_device")
-        from jpeg_gpu_tpu.engine.batch import (
-            decode_batch_device,
-            decode_batch_device_resident,
-        )
-
-        corpus_datas = [
-            corpus.pil_jpeg(
-                corpus.synthetic_rgb(256, 256, seed=100 + i),
-                quality=85,
-                subsampling="4:2:0",
-                optimize=True,
-                restart_marker_blocks=1,
-            )
-            for i in range(64)
-        ]
-        outs = decode_batch_device(corpus_datas)  # warm/compile
-        t_best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = decode_batch_device(corpus_datas)
-            t_best = min(t_best, time.perf_counter() - t0)
-        assert len(outs) == 64 and outs[0].shape == (256, 256, 3)
-        # With-download: bounded by the container tunnel's ~17-60 MB/s
-        # pixel readback (12.6 MB/bucket), not by the software -- the
-        # device-resident number below is the serving metric.
-        extended["corpus_e2e_1core_host_bound_mpix_per_s"] = round(
-            64 * 256 * 256 / 1e6 / t_best, 1
-        )
-        # Device-resident serving: pixels stay in HBM for downstream TPU
-        # consumers (the reference's render loop never reads pixels back
-        # either).  Sustained over 8 repeated buckets -- host parse/plan
-        # of bucket N+1 overlaps device decode of bucket N via async
-        # dispatch; per-image error flags checked once at the end.
-        _stage("extended: corpus device-resident sustained")
-        n_reps = 8
-        t_best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rep_outs = [
-                decode_batch_device_resident(corpus_datas, check_errors=False)
-                for _ in range(n_reps)
-            ]
-            jax.block_until_ready([o[0] for o in rep_outs])
-            t_best = min(t_best, time.perf_counter() - t0)
-        assert not any(
-            np.asarray(e).any() for _, e in rep_outs
-        ), "corpus decode flagged errors"
-        extended["corpus_device_resident_mpix_per_s"] = round(
-            n_reps * 64 * 256 * 256 / 1e6 / t_best, 1
-        )
     _stage("done")
 
     mpix = width * height * batch / 1e6
@@ -672,7 +686,10 @@ def _supervised() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                stdout=subprocess.PIPE, timeout=2700,
+                stdout=subprocess.PIPE,
+                # Extended (FULL) runs add several multi-minute compiles
+                # plus the isolated corpus subprocess.
+                timeout=4500 if os.environ.get("JPEG_TPU_BENCH_FULL") else 2700,
             )
         except subprocess.TimeoutExpired:
             print(f"[bench] attempt {i} timed out", file=sys.stderr, flush=True)
