@@ -293,12 +293,75 @@ def expand_pack_device(
     )
 
 
+def _spec_decode_sharded_try(
+    parsed: ParsedJpeg, mesh, exact, upsample, check_errors
+) -> Optional[np.ndarray]:
+    """Distributed DRI-less decode via the replicated device index scan.
+
+    Returns the cropped RGB array, or None when the scan did not
+    converge / the stream is out of range (the caller then runs the
+    serial host-scan path)."""
+    from jpeg_gpu_tpu.engine import pipeline
+    from jpeg_gpu_tpu.parallel.shard import decode_image_device_sharded_spec
+
+    header = parsed.header
+    try:
+        inp = build_spec_scan_input(parsed)
+    except JpegUnsupportedError:
+        return None
+    spec = pipeline.PipelineSpec.from_header(
+        header, exact=exact, upsample=upsample
+    )
+    geom = tuple(
+        (header.components[i].hsamp, header.components[i].vsamp)
+        for i in header.scan.comp_idx
+    )
+    assemble_args = (
+        header.n_mcus, 1, header.n_mcus, header.nhmb, header.nvmb, geom,
+        header.scan.comp_idx,
+    )
+    scan_cfg = (
+        inp.used_slots, inp.bpm, inp.subseq_bytes, inp.maxrec, inp.nw,
+        inp.spw, inp.nws, inp.t_last,
+    )
+    qtables = tuple(
+        jnp.asarray(header.quant_for(c).values.astype(np.int32))
+        for c in header.components
+    )
+    rgb, err, ok = decode_image_device_sharded_spec(
+        spec, mesh, assemble_args, scan_cfg,
+        jnp.asarray(inp.windows),
+        jnp.asarray(np.array([inp.n_bits], np.int32)),
+        (jnp.asarray(inp.dcslot_of_c), jnp.asarray(inp.acslot_of_c)),
+        tuple(
+            jnp.asarray(x)
+            for x in (
+                inp.comp_of_step, inp.dc_slot_of_step, inp.ac_slot_of_step,
+                inp.seg_meta, inp.cbase, inp.counts, inp.symbols,
+            )
+        ),
+        qtables,
+    )
+    if not bool(ok):
+        log.debug("sharded device specsync did not converge; falling back")
+        return None
+    if check_errors:
+        flags = np.asarray(err).reshape(-1)[: header.n_mcus]
+        if flags.any():
+            bad = int(np.flatnonzero(flags)[0])
+            raise JpegFormatError(
+                f"device entropy decode failed in pseudo segment {bad}"
+            )
+    return np.asarray(rgb)[: header.height, : header.width]
+
+
 def decode_image_device_sharded(
     parsed: ParsedJpeg,
     mesh,
     exact: bool = True,
     upsample: str = "nearest",
     check_errors: bool = True,
+    specsync: Optional[bool] = None,
 ) -> np.ndarray:
     """Distributed fully-on-device decode of one image.
 
@@ -306,6 +369,11 @@ def decode_image_device_sharded(
     are all_gathered over ICI, and the pixel pipeline splits MCU rows over
     the space axis (parallel/shard.py:decode_image_device_sharded).
     Returns the cropped RGB array.
+
+    DRI-less streams default to the DEVICE parallel index scan run
+    replicated per chip (parallel/shard.py:
+    decode_image_device_sharded_spec) -- no serial host scan in the
+    distributed path either; non-convergence falls back to it.
     """
     from jpeg_gpu_tpu.engine import pipeline
     from jpeg_gpu_tpu.parallel.mesh import DATA_AXIS
@@ -314,6 +382,19 @@ def decode_image_device_sharded(
     )
 
     header = parsed.header
+    if specsync is None:
+        specsync = _specsync_enabled()
+    if (
+        specsync
+        and not header.restart_interval
+        and len(parsed.segments) == 1
+        and header.n_mcus >= 2
+    ):
+        rgb = _spec_decode_sharded_try(
+            parsed, mesh, exact, upsample, check_errors
+        )
+        if rgb is not None:
+            return rgb
     plan = build_plan_auto(parsed)
     data_size = mesh.shape[DATA_AXIS]
     streams = plan.streams

@@ -314,6 +314,136 @@ def decode_corpus_device_sharded(
     )(streams, maps, local_seg_meta, tables, qtables)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def decode_image_device_sharded_spec(
+    spec: PipelineSpec,
+    mesh: Mesh,
+    assemble_args: Tuple,   # (n_segments, mcus_per_segment, n_mcus, nhmb,
+    #                            nvmb, geom, frame_order)
+    scan_cfg: Tuple,        # (used_slots, bpm, sb, maxrec, nw, spw, nws,
+    #                            t_last) -- SpecScanInput statics
+    windows: jax.Array,     # (BS, NWS, 8, 128) int32, replicated
+    nbits: jax.Array,       # (1,) int32
+    scan_maps: Tuple[jax.Array, ...],    # (dcslot_of_c, acslot_of_c)
+    plan_tables: Tuple[jax.Array, ...],  # kernel_tables (seg_meta shard-safe)
+    qtables: Tuple[jax.Array, ...],
+):
+    """DRI-less single-image distributed decode via the DEVICE index scan.
+
+    The serial host scan never runs: every chip executes the (cheap,
+    ~1.25 ms) parallel index scan on the replicated window tensor, then
+    gathers + decodes ONLY its own pseudo-segment shard; coefficient
+    slabs all_gather over ICI exactly like the restart path, and the DC
+    predictor bases are derived from the gathered coefficients (each
+    chip computes the identical exclusive cumsum -- no extra collective).
+    Non-convergence surfaces as ``ok=False`` (replicated); the caller
+    falls back to the host-scan path.
+
+    Returns (rgb, err, ok): rgb (padH, padW, 3) sharded on rows over
+    space; err (B2, 8, 128) segment flags; ok () bool.
+    """
+    from jpeg_gpu_tpu.engine.pipeline import fused_rgb_geometry
+    from jpeg_gpu_tpu.ops import entropy_device, specsync_device
+
+    n_segments, mcus_per_segment, n_mcus, nhmb, nvmb, geom, frame_order = (
+        assemble_args
+    )
+    used_slots, bpm, sb, maxrec, nw, spw, nws, t_last = scan_cfg
+    assert mcus_per_segment == 1
+    data_size = mesh.shape[DATA_AXIS]
+    space = mesh.shape[SPACE_AXIS]
+    fg = fused_rgb_geometry(spec) if spec.upsample == "nearest" else None
+    for hs, vs in geom:
+        if (nvmb * vs) % space:
+            raise ValueError(
+                f"MCU rows ({nvmb}, x{vs} blocks) not divisible by the "
+                f"space axis ({space}); use a smaller space axis"
+            )
+    b2 = -(-n_mcus // 1024)
+    if b2 % data_size:
+        b2 = -(-b2 // data_size) * data_size  # pad batches to the grid
+
+    interp = jax.default_backend() == "cpu"  # interpret on the test mesh
+
+    def step(windows, nbits, scan_maps, plan_tables, qtables):
+        dcslot_c, acslot_c = scan_maps
+        comp_map, dcslot, acslot, seg_meta, cbase, counts, symbols = (
+            plan_tables
+        )
+        bitpos, ok, _stats = specsync_device.device_index_scan(
+            windows, nbits, dcslot_c, acslot_c, cbase, counts, symbols,
+            used_slots=used_slots, bpm=bpm, sb=sb, maxrec=maxrec,
+            n_mcus=n_mcus, interpret=interp,
+        )
+        seg_bits = jnp.diff(bitpos, append=nbits.astype(jnp.int32))
+        ok = jnp.logical_and(ok, jnp.max(seg_bits) + 63 <= nw * 32)
+        # This chip's pseudo-segment shard: contiguous batches of 1024.
+        bitpos = jnp.pad(bitpos, (0, b2 * 1024 - n_mcus))
+        loc = (b2 // data_size) * 1024
+        my = jax.lax.dynamic_slice_in_dim(
+            bitpos, jax.lax.axis_index(DATA_AXIS) * loc, loc
+        )
+        streams = specsync_device.gather_entropy_streams(
+            windows, my, nw=nw, spw=spw, nws=nws
+        )
+        # seg_meta: the (possibly short) last segment lives on the last
+        # data shard; remap its batch index to shard-local coordinates.
+        local_b = b2 // data_size
+        lb = seg_meta[0] - jax.lax.axis_index(DATA_AXIS) * local_b
+        in_shard = jnp.logical_and(lb >= 0, lb < local_b)
+        seg_meta = seg_meta.at[0].set(jnp.where(in_shard, lb, -1))
+        out, err = entropy_device.decode_segments_device(
+            streams, comp_map, dcslot, acslot, seg_meta,
+            cbase, counts, symbols, interpret=interp,
+        )
+        out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)
+        # err stays shard-local; the P(DATA_AXIS) out_spec concatenates
+        # the shards back into the (B2, 8, 128) global flag tensor.
+        # DC bases from the gathered coefficients: identical exclusive
+        # cumsum on every chip, applied before assembly.
+        dcb = specsync_device.dc_base_from_coefs(out, t_last)
+        out = entropy_device.apply_dc_base(out, dcb, comp_map)
+        comps = entropy_device.assemble_components(
+            out, n_segments, 1, n_mcus, nhmb, nvmb, geom,
+            soa=fg is not None, frame_order=frame_order,
+        )
+        sidx = jax.lax.axis_index(SPACE_AXIS)
+        if fg is not None:
+            from jpeg_gpu_tpu.ops import pixel_fused
+
+            rows = comps[0].shape[-2] // space
+            y, cb, cr = (
+                jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=-2)
+                for c in comps
+            )
+            sx, sy = fg
+            qty = qtables[0].reshape(64)
+            qtc = jnp.stack([qtables[1].reshape(64), qtables[2].reshape(64)])
+            rgb = pixel_fused.decode_rgb_fused_soa(
+                y, cb.reshape(64, rows, -1), cr.reshape(64, rows, -1),
+                qty, qtc, sx, sy,
+            )
+            rgb = rgb[: rows * sy * 8]
+        else:
+            local = []
+            for ci, c in enumerate(comps):
+                vb = c.shape[0]
+                rows = vb // space
+                local.append(
+                    jax.lax.dynamic_slice_in_dim(c, sidx * rows, rows, axis=0)
+                )
+            rgb = _local_decode_rgb(spec, tuple(local), qtables)
+        return rgb, err, ok
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(SPACE_AXIS), P(DATA_AXIS), P()),
+        check_rep=False,
+    )(windows, nbits, scan_maps, plan_tables, qtables)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def decode_image_device_sharded(
     spec: PipelineSpec,

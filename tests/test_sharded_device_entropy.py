@@ -110,3 +110,38 @@ def test_sharded_device_decode_no_dri():
     rgb = decode_image_device_sharded(parsed, mesh)
     ref = decode(data, out="rgb", impl="host")
     np.testing.assert_array_equal(rgb, ref)
+
+
+@pytest.mark.parametrize("upsample", ["nearest", "fancy"])
+def test_sharded_spec_decode_dri_less_matches_host(upsample):
+    """DRI-less distributed decode via the replicated DEVICE index scan
+    (parallel/shard.py:decode_image_device_sharded_spec): no serial host
+    scan anywhere, pixels bit-identical to the host pipeline."""
+    img = corpus.synthetic_rgb(128, 128, seed=14)
+    data = corpus.pil_jpeg(img, quality=85, subsampling="4:2:0")
+    parsed = parse(data)
+    assert parsed.header.restart_interval == 0
+    mesh = make_mesh(8, space=2)
+    rgb = decode_image_device_sharded(parsed, mesh, upsample=upsample)
+    ref = decode(data, out="rgb", impl="host", upsample=upsample)
+    np.testing.assert_array_equal(rgb, ref)
+
+
+def test_sharded_spec_falls_back_to_host_scan(monkeypatch):
+    """Forced non-eligibility must route the DRI-less sharded decode
+    through the serial-scan path with identical pixels."""
+    from jpeg_gpu_tpu.engine import device_entropy as de
+    from jpeg_gpu_tpu.errors import JpegUnsupportedError
+
+    img = corpus.synthetic_rgb(64, 96, seed=15)
+    data = corpus.pil_jpeg(img, quality=85, subsampling="4:2:0")
+    parsed = parse(data)
+    mesh = make_mesh(4, space=1)
+
+    def raise_unsupported(parsed, **kw):
+        raise JpegUnsupportedError("forced")
+
+    monkeypatch.setattr(de, "build_spec_scan_input", raise_unsupported)
+    rgb = decode_image_device_sharded(parsed, mesh)
+    ref = decode(data, out="rgb", impl="host")
+    np.testing.assert_array_equal(rgb, ref)
