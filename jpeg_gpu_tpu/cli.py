@@ -66,6 +66,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="host->device payload for host-entropy modes (default: coefs)",
     )
     p.add_argument("--no-validate", action="store_true", help="skip bitstream validation")
+    # The reference's ablation switches (jpeg_gpu.c:481-484, 560-567) as
+    # explicit aliases over the --impl/--entropy axes:
+    p.add_argument(
+        "--no-gpu", action="store_true",
+        help="decode entirely on the host (alias for --impl host; the "
+        "reference's --no-gpu)",
+    )
+    p.add_argument(
+        "--no-cpu", action="store_true",
+        help="host does no Huffman work: entropy decode (and for DRI-less "
+        "streams the index scan) runs on the TPU (alias for --impl tpu "
+        "--entropy device; the reference's --no-cpu)",
+    )
     p.add_argument(
         "--on-error", default="raise", choices=["raise", "zero"],
         help="device-entropy error policy: abort, or salvage (corrupt "
@@ -113,6 +126,15 @@ def _dump(result, stage: OutputStage) -> None:
 def main(argv=None) -> int:
     log_util.init()
     args = build_parser().parse_args(argv)
+    if args.no_gpu and args.no_cpu:
+        print("error: --no-gpu and --no-cpu are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if args.no_gpu:
+        args.impl = "host"
+    if args.no_cpu:
+        args.impl = "tpu"
+        args.entropy = "device"
     stage = OutputStage(args.out)
     try:
         with open(args.file, "rb") as f:
